@@ -1,0 +1,54 @@
+"""DeviceGraph: the frozen pytree of device arrays one graph trains on.
+
+The TPU-native replacement for the reference's PyG ``Data`` object
+(graphs/graph.py:65-69 + dataset.py:30-35): relation-sorted static-shaped
+edge arrays (see ops/rgcn_conv.py) plus split index/label arrays, ready to
+be closed over by a jitted training step. Built once per graph on the host.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scaling_rgcn_training_tpu.ops.rgcn_conv import RelEdges, build_rel_edges
+from scaling_rgcn_training_tpu.graphs.graph import Graph
+
+
+class DeviceGraph(NamedTuple):
+    """Edges + splits for one graph. Summary graphs carry only the train split."""
+
+    edges: RelEdges
+    x_train: jnp.ndarray          # int32 [T]  node ids with labels
+    y_train: jnp.ndarray          # float32 [T, C]  multi-hot (org) / soft (summary)
+    x_val: Optional[jnp.ndarray] = None
+    y_val: Optional[jnp.ndarray] = None
+    x_test: Optional[jnp.ndarray] = None
+    y_test: Optional[jnp.ndarray] = None
+
+    @property
+    def num_nodes(self) -> int:
+        return self.edges.num_nodes
+
+
+def build_device_graph(graph: Graph, pad_to_multiple: int = 512) -> DeviceGraph:
+    """Lower a host ``Graph`` (with training tensors attached) to device arrays."""
+    edges = build_rel_edges(
+        graph.edge_src, graph.edge_dst, graph.edge_type,
+        num_nodes=graph.num_nodes,
+        num_slots=graph.num_relation_slots,
+        pad_to_multiple=pad_to_multiple,
+    )
+    as_dev = lambda a: None if a is None else jnp.asarray(a)
+    return DeviceGraph(
+        edges=edges,
+        x_train=as_dev(graph.x_train),
+        y_train=as_dev(graph.y_train),
+        x_val=as_dev(graph.x_val),
+        y_val=as_dev(graph.y_val),
+        x_test=as_dev(graph.x_test),
+        y_test=as_dev(graph.y_test),
+    )

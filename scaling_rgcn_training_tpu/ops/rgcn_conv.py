@@ -1,0 +1,209 @@
+"""The per-relation sparse graph convolution (R-GCN message passing).
+
+Reproduces the math of PyG ``RGCNConv`` exactly as the reference uses it
+(model/layers.py:15-16,21-23 with ``num_bases=None``, ``num_blocks=None``,
+default ``aggr='mean'``, ``root_weight=True``, ``bias=True``):
+
+    out_i = x_i @ root + bias + sum_r ( mean_{j in N_r(i)} x_j ) @ weight[r]
+
+where ``N_r(i)`` are sources of edges of relation ``r`` arriving at ``i``.
+
+TPU-native design (none of this mirrors PyG's implementation):
+- Edges are preprocessed ONCE per graph into :class:`RelEdges`: sorted by
+  relation, padded to a static size, with the per-edge mean-normalization
+  coefficient ``1/deg_r(dst)`` precomputed (it depends only on graph
+  structure). Padding edges carry ``norm = 0`` so they contribute nothing.
+- The forward pass is then three dense-friendly stages, all static-shaped:
+    1. gather        ``msg = x[src]``                       [E, d_in]
+    2. grouped matmul ``msg @= weight[rel]``                 [E, d_out]
+       (one ``lax.ragged_dot`` over relation-contiguous rows -> MXU)
+    3. scale+scatter ``out = segment_sum(msg * norm, dst)``  [N, d_out]
+  FLOPs are proportional to edges (not nodes x relations, which is what a
+  per-relation dense loop would cost).
+- Basis / block-diagonal decompositions (features the reference's op API
+  exposes but leaves disabled) are first-class: weights are stored
+  decomposed and materialized to ``[R, in, out]`` on the fly (they are tiny
+  relative to activations, and XLA fuses the einsum into the ragged dot's
+  operand production).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scaling_rgcn_training_tpu.ops.grouped_matmul import grouped_matmul
+
+
+class RelEdges(NamedTuple):
+    """Static-shaped, relation-sorted edge arrays for one graph.
+
+    ``src``/``dst``: int32 [E_pad]; ``norm``: float32 [E_pad] (the
+    ``1/deg_r(dst)`` mean coefficient, 0 for padding rows); ``group_sizes``:
+    int32 [num_slots] edge counts per relation slot (padding rows are
+    appended to the final slot, which the reference keeps empty — see
+    ``Graph.num_relation_slots``); ``num_nodes``: static int.
+    """
+
+    src: jnp.ndarray
+    dst: jnp.ndarray
+    norm: jnp.ndarray
+    group_sizes: jnp.ndarray
+    num_nodes: int
+
+
+# RelEdges is a pytree whose num_nodes leaf must stay static under jit.
+jax.tree_util.register_pytree_node(
+    RelEdges,
+    lambda e: ((e.src, e.dst, e.norm, e.group_sizes), e.num_nodes),
+    lambda aux, ch: RelEdges(*ch, num_nodes=aux),
+)
+
+
+def build_rel_edges(
+    edge_src: np.ndarray,
+    edge_dst: np.ndarray,
+    edge_type: np.ndarray,
+    num_nodes: int,
+    num_slots: int,
+    pad_to_multiple: int = 512,
+) -> RelEdges:
+    """Preprocess a raw edge list into the static TPU layout.
+
+    Host-side, runs once per graph. Sorts edges by (relation, dst) —
+    relation-contiguity feeds the grouped matmul; dst-sortedness within each
+    relation makes the final segment-sum access pattern mostly monotonic.
+    """
+    edge_src = np.asarray(edge_src, np.int32)
+    edge_dst = np.asarray(edge_dst, np.int32)
+    edge_type = np.asarray(edge_type, np.int32)
+    e = edge_src.shape[0]
+
+    order = np.lexsort((edge_dst, edge_type))
+    src, dst, typ = edge_src[order], edge_dst[order], edge_type[order]
+
+    # per-(dst, relation) in-degree -> mean coefficient per edge
+    keys = typ.astype(np.int64) * num_nodes + dst.astype(np.int64)
+    uniq, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
+    norm = (1.0 / counts[inv]).astype(np.float32)
+
+    group_sizes = np.bincount(typ, minlength=num_slots).astype(np.int32)
+
+    e_pad = max(pad_to_multiple, -(-e // pad_to_multiple) * pad_to_multiple)
+    n_pad = e_pad - e
+    if n_pad:
+        src = np.concatenate([src, np.zeros(n_pad, np.int32)])
+        dst = np.concatenate([dst, np.zeros(n_pad, np.int32)])
+        norm = np.concatenate([norm, np.zeros(n_pad, np.float32)])
+        group_sizes[num_slots - 1] += n_pad  # pad rows live in the empty slot
+
+    return RelEdges(
+        src=jnp.asarray(src),
+        dst=jnp.asarray(dst),
+        norm=jnp.asarray(norm),
+        group_sizes=jnp.asarray(group_sizes),
+        num_nodes=int(num_nodes),
+    )
+
+
+class RGCNLayerParams(NamedTuple):
+    """One R-GCN layer's parameters, optionally decomposed.
+
+    - full:       ``weight [R, in, out]``, ``comp=None``
+    - basis:      ``weight [B, in, out]`` (bases), ``comp [R, B]``
+    - block-diag: ``weight [R, nb, in/nb, out/nb]``, ``comp=None``
+    ``root [in, out]``, ``bias [out]`` always dense (PyG parity: the
+    reference reads/writes exactly weight/root/bias per layer when
+    transferring, model/modelTrainer.py:28-35).
+    """
+
+    weight: jnp.ndarray
+    root: jnp.ndarray
+    bias: jnp.ndarray
+    comp: Optional[jnp.ndarray] = None
+
+
+def materialize_weight(params: RGCNLayerParams) -> jnp.ndarray:
+    """-> dense ``[R, in, out]`` relation weights from any decomposition."""
+    w = params.weight
+    if params.comp is not None:  # basis decomposition
+        return jnp.einsum("rb,bio->rio", params.comp, w, preferred_element_type=jnp.float32).astype(w.dtype)
+    if w.ndim == 4:  # block-diagonal [R, nb, i/nb, o/nb] -> [R, in, out]
+        r, nb, bi, bo = w.shape
+        eye = jnp.eye(nb, dtype=w.dtype)
+        # place block b on the diagonal: out[r, b*bi:(b+1)*bi, b*bo:(b+1)*bo] = w[r, b]
+        dense = jnp.einsum("rbio,bc->rbico", w, eye)
+        return dense.reshape(r, nb * bi, nb * bo)
+    return w
+
+
+def init_rgcn_layer(
+    key: jax.Array,
+    num_slots: int,
+    in_dim: int,
+    out_dim: int,
+    num_bases: Optional[int] = None,
+    num_blocks: Optional[int] = None,
+    dtype=jnp.float32,
+) -> RGCNLayerParams:
+    """Initialization matching the reference's distributions.
+
+    - relation weights: torch ``kaiming_uniform_(mode='fan_in')`` applied to
+      the ``[R, in, out]`` tensor (model/layers.py:17-18): bound
+      ``sqrt(6 / (in * out))`` (torch's fan_in for a 3D tensor is
+      ``size(1) * prod(size()[2:])``).
+    - root: PyG glorot, bound ``sqrt(6 / (in + out))``.
+    - bias: zeros (PyG default).
+    """
+    k_w, k_r, k_c = jax.random.split(key, 3)
+    if num_blocks is not None:
+        assert in_dim % num_blocks == 0 and out_dim % num_blocks == 0, (
+            "block-diagonal decomposition needs in/out divisible by num_blocks"
+        )
+        w_shape = (num_slots, num_blocks, in_dim // num_blocks, out_dim // num_blocks)
+        fan = w_shape[1] * w_shape[2] * w_shape[3]
+        comp = None
+    elif num_bases is not None:
+        w_shape = (num_bases, in_dim, out_dim)
+        fan = in_dim * out_dim
+        comp = jax.random.uniform(
+            k_c, (num_slots, num_bases),
+            minval=-np.sqrt(6.0 / (num_slots + num_bases)),
+            maxval=np.sqrt(6.0 / (num_slots + num_bases)), dtype=dtype,
+        )
+    else:
+        w_shape = (num_slots, in_dim, out_dim)
+        fan = in_dim * out_dim
+        comp = None
+    bound_w = np.sqrt(6.0 / fan)
+    bound_r = np.sqrt(6.0 / (in_dim + out_dim))
+    return RGCNLayerParams(
+        weight=jax.random.uniform(k_w, w_shape, minval=-bound_w, maxval=bound_w, dtype=dtype),
+        root=jax.random.uniform(k_r, (in_dim, out_dim), minval=-bound_r, maxval=bound_r, dtype=dtype),
+        bias=jnp.zeros((out_dim,), dtype),
+        comp=comp,
+    )
+
+
+def rgcn_conv(
+    x: jnp.ndarray,
+    edges: RelEdges,
+    params: RGCNLayerParams,
+    backend: str | None = None,
+) -> jnp.ndarray:
+    """Apply one R-GCN layer: ``[N, in] -> [N, out]``.
+
+    Jit-safe: everything static-shaped. The grouped matmul runs over
+    relation-contiguous edge rows; padding rows are killed by ``norm == 0``
+    before the scatter, so the extra rows in the final (empty) relation slot
+    never contribute.
+    """
+    w = materialize_weight(params)
+    msg = jnp.take(x, edges.src, axis=0)           # [E, in]   gather
+    msg = grouped_matmul(msg, w, edges.group_sizes, backend=backend)  # [E, out]
+    msg = msg * edges.norm[:, None]                # mean coeff; pads -> 0
+    agg = jax.ops.segment_sum(msg, edges.dst, num_segments=edges.num_nodes)
+    return agg + x @ params.root + params.bias
