@@ -1,0 +1,220 @@
+"""Trainer: summary pre-training, transfer, full-graph fine-tuning.
+
+Functional re-design of model/modelTrainer.py:15-116:
+- ``train_summaries``: ONE shared conv trunk trained sequentially over all
+  summary graphs, re-initializing the embedding per graph and recording
+  each trained embedding on the host Graph (modelTrainer.py:76-82);
+- ``train_original``: head model on the full graph with optional embedding
+  transfer (+freeze) and weight transfer (+freeze) (modelTrainer.py:84-116);
+- the epoch loop evaluates on the validation split BEFORE each update step
+  (modelTrainer.py:53-59) so recorded series line up with the reference's.
+
+Everything inside an epoch is jitted; graphs are static-shaped DeviceGraph
+pytrees closed over by XLA once per shape. Freezing is an optax update mask
+(see optim.py) rather than torch's requires_grad surgery.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from scaling_rgcn_training_tpu.graphs.dataset import Dataset
+from scaling_rgcn_training_tpu.graphs.device import DeviceGraph, build_device_graph
+from scaling_rgcn_training_tpu.graphs.graph import Graph
+from scaling_rgcn_training_tpu.models import heads as model_heads
+from scaling_rgcn_training_tpu.train.losses import get_loss
+from scaling_rgcn_training_tpu.train.metrics import evaluate, predictions
+from scaling_rgcn_training_tpu.train.optim import apply_mask, make_optimizer
+
+
+class Trainer:
+    """Same constructor surface as the reference Trainer (modelTrainer.py:17-24)."""
+
+    def __init__(self, data: Dataset, hidden_l: int, epochs: int, emb_dim: int,
+                 lr: float, weight_d: float, seed: int = 0,
+                 backend: Optional[str] = None, num_bases: Optional[int] = None,
+                 num_blocks: Optional[int] = None) -> None:
+        self.data = data
+        self.hidden_l = hidden_l
+        self.epochs = epochs
+        self.emb_dim = emb_dim
+        self.lr = lr
+        self.weight_d = weight_d
+        self.backend = backend
+        self.num_bases = num_bases
+        self.num_blocks = num_blocks
+        self.rng = jax.random.key(seed)
+        self.sum_params = None          # trained summary model (EmbModelParams)
+        self._device_graphs: Dict[int, DeviceGraph] = {}
+
+    # -- helpers -----------------------------------------------------------
+
+    def _next_rng(self) -> jax.Array:
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def _device_graph(self, graph: Graph) -> DeviceGraph:
+        key = id(graph)
+        if key not in self._device_graphs:
+            self._device_graphs[key] = build_device_graph(graph)
+        return self._device_graphs[key]
+
+    # -- core epoch loop (modelTrainer.py:41-74) ---------------------------
+
+    def fit(self, params: Any, apply_fn: Callable, graph: DeviceGraph,
+            loss_fn: Callable, activation: str, sum_graph: bool = True,
+            mask: Any = None, verbose: bool = True,
+            ) -> Tuple[Any, List[float], List[float], List[float], List[float]]:
+        optimizer = make_optimizer(self.lr, self.weight_d)
+        opt_state = optimizer.init(params)
+        backend = self.backend
+
+        @jax.jit
+        def train_step(params, opt_state, rng):
+            def loss_of(p):
+                logits = apply_fn(p, graph.edges, train=True, rng=rng, backend=backend)
+                return loss_fn(logits[graph.x_train], graph.y_train)
+
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            updates = apply_mask(updates, mask)
+            return optax.apply_updates(params, updates), new_opt_state, loss
+
+        @jax.jit
+        def eval_step(params):
+            logits = apply_fn(params, graph.edges, train=False, backend=backend)
+            return evaluate(logits, graph.x_val, graph.y_val, activation)
+
+        accuracies: List[float] = []
+        losses: List[float] = []
+        f1_ws: List[float] = []
+        f1_ms: List[float] = []
+
+        for epoch in range(self.epochs):
+            if not sum_graph:
+                acc, f1_w, f1_m = (float(v) for v in eval_step(params))
+                if verbose:
+                    print(f"Accuracy on validation set = {acc}")
+                accuracies.append(acc)
+                f1_ws.append(f1_w)
+                f1_ms.append(f1_m)
+
+            params, opt_state, loss = train_step(params, opt_state, self._next_rng())
+            losses.append(float(loss))
+            if verbose and epoch % 10 == 0:
+                print(f"Epoch: {epoch}, Loss: {float(loss):.4f}")
+
+        return params, accuracies, losses, f1_ws, f1_ms
+
+    # -- summary pre-training (modelTrainer.py:76-82) ----------------------
+
+    def train_summaries(self, configs: Dict[str, Any], verbose: bool = True) -> None:
+        loss_fn, activation = get_loss(configs["dataset"], sum_model=True)
+        sg0 = self.data.sumGraphs[0]
+        params = model_heads.init_emb_model(
+            self._next_rng(), sg0.num_relation_slots, self.hidden_l,
+            self.data.num_classes, sg0.num_nodes, self.emb_dim,
+            num_sums=len(self.data.sumGraphs),
+            num_bases=self.num_bases, num_blocks=self.num_blocks)
+        for sg in self.data.sumGraphs:
+            # re-init the embedding for this summary's node count, keep trunk
+            params = params._replace(
+                embedding=jax.random.normal(
+                    self._next_rng(), (sg.num_nodes, self.emb_dim), jnp.float32))
+            params, *_ = self.fit(
+                params, model_heads.apply_emb_model, self._device_graph(sg),
+                loss_fn, activation, sum_graph=True, verbose=verbose)
+            sg.embedding = np.asarray(params.embedding)
+        self.sum_params = params
+
+    # -- weight transfer (modelTrainer.py:26-39) ---------------------------
+
+    def transfer_weights(self, org_params: Any) -> Any:
+        assert self.sum_params is not None, "train_summaries must run first"
+        return org_params._replace(
+            rgcn1=self.sum_params.rgcn1, rgcn2=self.sum_params.rgcn2)
+
+    # -- full-graph training (modelTrainer.py:84-116) ----------------------
+
+    def train_original(self, head: str, configs: Dict[str, Any], exp: str,
+                       verbose: bool = True) -> Dict[str, Any]:
+        from scaling_rgcn_training_tpu.train.transfer import EMBEDDING_TRICKS
+
+        og = self.data.orgGraph
+        init_fn, apply_fn = model_heads.HEADS[head]
+        num_sums = configs.get("num_sums", 1)
+        params = init_fn(
+            self._next_rng(), og.num_relation_slots, self.hidden_l,
+            self.data.num_classes, og.num_nodes, self.emb_dim,
+            num_sums=num_sums, num_bases=self.num_bases, num_blocks=self.num_blocks)
+
+        mask = jax.tree_util.tree_map(lambda _: True, params)
+
+        if exp != "baseline" and configs.get("e_trans", False):
+            trick = EMBEDDING_TRICKS[head]
+            embedding = trick(og, self.data.sumGraphs, self.emb_dim, self._next_rng())
+            params = params._replace(embedding=embedding)
+            if configs.get("e_freeze", True):
+                mask = mask._replace(embedding=False)
+            if verbose:
+                print("Loaded pre trained embedding")
+
+        if exp != "baseline" and configs.get("w_trans", False):
+            params = self.transfer_weights(params)
+            if not configs.get("w_grad", True):
+                freeze = jax.tree_util.tree_map(lambda _: False, params.rgcn1)
+                mask = mask._replace(
+                    rgcn1=freeze, rgcn2=jax.tree_util.tree_map(lambda _: False, params.rgcn2))
+            if verbose:
+                print("weight transfer done")
+
+        loss_fn, activation = get_loss(configs["dataset"], sum_model=False)
+        dev_graph = self._device_graph(og)
+
+        if verbose:
+            print("Training on Orginal Graph...")
+        params, accs, losses, f1_ws, f1_ms = self.fit(
+            params, apply_fn, dev_graph, loss_fn, activation,
+            sum_graph=False, mask=mask, verbose=verbose)
+
+        test_acc, test_f1_w, test_f1_m = self.evaluate_test(
+            params, apply_fn, dev_graph, activation, report=verbose)
+        if verbose:
+            print("ACC ON TEST SET = ", test_acc)
+
+        return {
+            "accuracy": accs, "loss": losses,
+            "f1 weighted": f1_ws, "f1 macro": f1_ms,
+            "test_acc": test_acc, "test_f1_weighted": test_f1_w,
+            "test_f1_macro": test_f1_m, "params": params, "mask": mask,
+        }
+
+    def evaluate_test(self, params, apply_fn, graph: DeviceGraph,
+                      activation: str, report: bool = False) -> Tuple[float, float, float]:
+        logits = apply_fn(params, graph.edges, train=False, backend=self.backend)
+        acc, f1_w, f1_m = evaluate(logits, graph.x_test, graph.y_test, activation)
+        if report:
+            from sklearn.metrics import classification_report
+
+            pred = np.asarray(predictions(logits, activation))[np.asarray(graph.x_test)]
+            print(classification_report(np.asarray(graph.y_test), pred, zero_division=0))
+        return float(acc), float(f1_w), float(f1_m)
+
+
+def count_trainable_parameters(params: Any, mask: Any,
+                               sum_graphs: Optional[List[Graph]] = None) -> int:
+    """Reference results.py:29-37: trainable params + summary embeddings."""
+    total = 0
+    for leaf, m in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(mask)):
+        if m:
+            total += int(np.prod(leaf.shape))
+    if sum_graphs:
+        for sg in sum_graphs:
+            if sg.embedding is not None:
+                total += int(sg.embedding.shape[0] * sg.embedding.shape[1])
+    return total
