@@ -1,0 +1,153 @@
+"""Results accumulation / reporting (reference helpers/results.py:14-132).
+
+Drop-in JSON schema compatibility:
+- ``run_results_{exp}_{sum}_i={i}.json``: per experiment, per metric,
+  ``[mean_series, mean-std, mean+std]`` rounded to 4 decimals;
+- ``report_{exp}_{sum}_i={i}.json``: configs + per-metric
+  ``{'epoch': argmax_index - 1, 'max': percent}`` + test mean±std;
+- optional matplotlib curves with the frozen baseline band when a
+  ``baselines/{ds}_baseline`` file is available (results.py:70-117).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from datetime import datetime
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+class Results:
+    def __init__(self) -> None:
+        self.run_results: Dict[str, Dict[str, list]] = {}
+        self.test_accs = defaultdict(list)
+        self.test_f1_weighted = defaultdict(list)
+        self.test_f1_macro = defaultdict(list)
+
+    def add_key(self, key: str) -> None:
+        if key not in self.run_results:
+            self.run_results[key] = defaultdict(list)
+
+    def update_run_results(self, new_results: Dict[str, list], exp: str) -> None:
+        for key, value in new_results.items():
+            self.run_results[exp][key].append(np.array(value))
+
+    def add_test_results(self, exp: str, acc: float, f1_w: float, f1_m: float) -> None:
+        self.test_accs[f"Test acc {exp}"].append(acc)
+        self.test_f1_weighted[f"Test F1 weighted {exp}"].append(f1_w)
+        self.test_f1_macro[f"Test F1 macro {exp}"].append(f1_m)
+
+    # -- aggregation (results.py:39-46) ------------------------------------
+
+    def make_av_run_results(self) -> None:
+        for exp, value in self.run_results.items():
+            for metric, array_list in value.items():
+                arr = np.array(array_list)
+                mean_arr = np.mean(arr, axis=0)
+                std_arr = np.std(arr, axis=0)
+                self.run_results[exp][metric] = [
+                    list(np.around(mean_arr, 4)),
+                    list(np.around(mean_arr - std_arr, 4)),
+                    list(np.around(mean_arr + std_arr, 4)),
+                ]
+
+    # -- report (results.py:48-68) -----------------------------------------
+
+    def create_run_report(self, path: str, configs: Dict[str, Any]) -> None:
+        report: Dict[str, Any] = defaultdict(dict)
+        report.update({k: v for k, v in configs.items()})
+        for experiment, metric_results in self.run_results.items():
+            for metric, results in metric_results.items():
+                max_metric = max(results[0])
+                epoch = int(results[0].index(max_metric)) - 1
+                report[experiment][metric] = {
+                    "epoch": epoch, "max": round(max_metric * 100, 2)}
+        for test_dict in [self.test_accs, self.test_f1_weighted, self.test_f1_macro]:
+            for experiment, results in test_dict.items():
+                avg = round(float((sum(results) / len(results)) * 100), 2)
+                std = round(float(np.std(np.array(results) * 100)), 2)
+                report[experiment] = {"mean": avg, "std": std}
+        with open(f'{path}/report_{configs["exp"]}_{configs["sum"]}_i={configs["i"]}.json',
+                  "w") as fh:
+            json.dump(report, fh, indent=4, default=str)
+
+    def save_to_json(self, path: str, configs: Dict[str, Any]) -> None:
+        with open(f'{path}/run_results_{configs["exp"]}_{configs["sum"]}_i={configs["i"]}.json',
+                  "w") as fh:
+            json.dump(self.run_results, fh, indent=4, default=str)
+
+    # -- plots (results.py:70-117), optional -------------------------------
+
+    def plot_results(self, path: str, configs: Dict[str, Any],
+                     baselines_dir: str = "./baselines") -> None:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return
+
+        epochs = configs["epochs"]
+        epoch_list = list(range(epochs))
+        colors = {"attention": "#FF0000", "summation": "#069AF3", "mlp": "#15B01A",
+                  "baseline": "#FAC205"}
+
+        baseline_file = os.path.join(
+            baselines_dir, f'{configs["dataset"]}_baseline', "run_results_baseline_i=5.json")
+        b_results: Optional[dict] = None
+        if os.path.exists(baseline_file):
+            with open(baseline_file) as fh:
+                b_results = json.load(fh).get("baseline")
+
+        metrics = set()
+        for exp in self.run_results:
+            metrics.update(self.run_results[exp].keys())
+
+        for metric in sorted(metrics):
+            plt.figure()
+            for exp, series in self.run_results.items():
+                if metric not in series:
+                    continue
+                y, y1, y2 = series[metric]
+                x = epoch_list[:len(y)]
+                c = colors.get(exp, "#888888")
+                plt.fill_between(x, y1[:len(x)], y2[:len(x)], color=c, alpha=0.2)
+                plt.plot(x, y[:len(x)], color=c, label=f"{exp} {metric}")
+            if b_results and metric in b_results:
+                yb = b_results[metric][0][:epochs]
+                xb = epoch_list[:len(yb)]
+                plt.fill_between(xb, b_results[metric][1][:len(xb)],
+                                 b_results[metric][2][:len(xb)], color="#FAC205", alpha=0.45)
+                plt.plot(xb, yb, color="#FAC205", label=f"baseline {metric}")
+            plt.title(f'{metric} on {configs["dataset"]} during training ({configs["sum"]})')
+            plt.xlabel("Epochs")
+            plt.ylabel(metric)
+            plt.grid(color="b", linestyle="-", linewidth=0.1)
+            plt.legend(loc="best")
+            safe_metric = metric.replace(" ", "_")
+            plt.savefig(
+                f'{path}/{configs["dataset"]}_{safe_metric}_{configs["sum"]}_i={configs["i"]}.pdf',
+                format="pdf")
+            plt.close()
+
+    # -- driver (results.py:123-132) ---------------------------------------
+
+    def process_results(self, configs: Dict[str, Any],
+                        results_root: str = "./results",
+                        baselines_dir: str = "./baselines",
+                        plots: bool = True) -> str:
+        str_date = datetime.now().strftime("%d%B%Y-%H%M")
+        path = os.path.join(
+            results_root,
+            f'{configs["dataset"]}_{configs["exp"]}_{configs["sum"]}_i={configs["i"]}_{str_date}')
+        os.makedirs(path, exist_ok=True)
+        self.make_av_run_results()
+        self.save_to_json(path, configs)
+        self.create_run_report(path, configs)
+        if plots:
+            self.plot_results(path, configs, baselines_dir)
+        return path
