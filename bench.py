@@ -1,0 +1,140 @@
+"""Benchmark: edges/s/chip for the 2-layer R-GCN training step (fwd+bwd).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "edges/s/chip", "vs_baseline": N}
+
+- ``value``: edge traversals per second (num_edges x num_layers / step time)
+  of the TPU-native path (relation-sorted grouped matmul via ragged_dot +
+  single segment-sum scatter), full train step: forward + backward + Adam.
+- ``vs_baseline``: speedup over the reference *design* on the same chip —
+  the per-relation masked-aggregation loop that PyG RGCNConv performs
+  internally (R passes over the edge list; SURVEY.md L0) expressed in XLA,
+  measured on the identical graph/model. The reference repo publishes no
+  throughput numbers (BASELINE.md), so its op structure is the baseline.
+
+Env knobs: BENCH_NODES, BENCH_EDGES, BENCH_RELS, BENCH_DIM, BENCH_HIDDEN,
+BENCH_STEPS, BENCH_BACKEND (default ragged).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from scaling_rgcn_training_tpu.models import init_emb_model, apply_emb_model
+    from scaling_rgcn_training_tpu.ops import build_rel_edges
+    from scaling_rgcn_training_tpu.train.losses import bce_loss
+    from scaling_rgcn_training_tpu.train.optim import make_optimizer
+
+    n = int(os.environ.get("BENCH_NODES", 200_000))
+    e = int(os.environ.get("BENCH_EDGES", 4_000_000))
+    r = int(os.environ.get("BENCH_RELS", 45))
+    d = int(os.environ.get("BENCH_DIM", 64))
+    hl = int(os.environ.get("BENCH_HIDDEN", 16))
+    c = 8
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    backend = os.environ.get("BENCH_BACKEND", "ragged")
+    num_layers = 2
+
+    log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
+    log(f"graph: N={n} E={e} R={r} d={d} hl={hl}")
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    typ = rng.integers(0, 2 * r, e).astype(np.int32)
+    slots = 2 * r + 1
+    edges = build_rel_edges(src, dst, typ, n, slots, pad_to_multiple=512)
+
+    params = init_emb_model(jax.random.key(0), slots, hl, c, n, d)
+    optimizer = make_optimizer(0.01, 5e-5)
+    opt_state = optimizer.init(params)
+    n_labeled = min(4096, n // 2)
+    x_train = jnp.asarray(rng.choice(n, n_labeled, replace=False).astype(np.int32))
+    y_train = jax.nn.one_hot(jnp.arange(n_labeled) % c, c)
+
+    def make_step(apply):
+        @jax.jit
+        def step(params, opt_state):
+            def loss_of(p):
+                logits = apply(p)
+                return bce_loss(logits[x_train], y_train)
+
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            updates, new_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_state, loss
+
+        return step
+
+    def time_steps(step, params, opt_state, n_steps):
+        p, s, loss = step(params, opt_state)  # compile + warmup
+        jax.block_until_ready(p)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            p, s, loss = step(p, s)
+        jax.block_until_ready(p)
+        return (time.perf_counter() - t0) / n_steps, float(loss)
+
+    # --- TPU-native path ---------------------------------------------------
+    step_opt = make_step(lambda p: apply_emb_model(p, edges, backend=backend))
+    t_opt, loss_opt = time_steps(step_opt, params, opt_state, steps)
+    edges_per_s = e * num_layers / t_opt
+    log(f"optimized: {t_opt*1e3:.2f} ms/step  {edges_per_s/1e6:.1f} M edge-traversals/s  loss={loss_opt:.4f}")
+
+    # --- reference-design baseline: per-relation masked aggregation loop ---
+    from scaling_rgcn_training_tpu.ops.rgcn_conv import materialize_weight
+
+    def rgcn_conv_loop(x, p):
+        w = materialize_weight(p)
+        out = x @ p.root + p.bias
+        src_j = jnp.asarray(edges.src)
+        dst_j = jnp.asarray(edges.dst)
+        norm_j = jnp.asarray(edges.norm)
+        # R separate masked passes over the full edge list (PyG RGCNConv's
+        # structure). Unrolled: each pass is gather -> mask -> segment_sum
+        # -> dense matmul.
+        gs = np.asarray(edges.group_sizes)
+        offs = np.concatenate([[0], np.cumsum(gs)])
+        for rel in range(slots - 1):
+            lo, hi = int(offs[rel]), int(offs[rel + 1])
+            if hi == lo:
+                continue
+            msg = x[src_j[lo:hi]] * norm_j[lo:hi, None]
+            agg = jax.ops.segment_sum(msg, dst_j[lo:hi], num_segments=n)
+            out = out + agg @ w[rel]
+        return out
+
+    def apply_baseline(p):
+        x = rgcn_conv_loop(p.embedding, p.rgcn1)
+        x = jax.nn.relu(x)
+        return rgcn_conv_loop(x, p.rgcn2)
+
+    base_steps = max(2, steps // 3)
+    step_base = make_step(apply_baseline)
+    t_base, loss_base = time_steps(step_base, params, opt_state, base_steps)
+    log(f"baseline(loop): {t_base*1e3:.2f} ms/step  loss={loss_base:.4f}")
+
+    print(json.dumps({
+        "metric": "rgcn_train_step_edge_traversals_per_second_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(t_base / t_opt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -200,7 +200,18 @@ def rgcn_conv(
     relation-contiguous edge rows; padding rows are killed by ``norm == 0``
     before the scatter, so the extra rows in the final (empty) relation slot
     never contribute.
+
+    Dispatch: when ``edges`` is a ``parallel.ShardedRelEdges`` (edge lists
+    partitioned over a device mesh), the SPMD path runs instead — models
+    never need to know whether they're distributed.
     """
+    if type(edges).__name__ == "ShardedRelEdges":
+        from scaling_rgcn_training_tpu.parallel import current_mesh, sharded_rgcn_conv
+
+        mesh = current_mesh()
+        assert mesh is not None, (
+            "rgcn_conv got sharded edges outside a parallel.use_mesh(...) scope")
+        return sharded_rgcn_conv(x, edges, params, mesh, backend=backend)
     w = materialize_weight(params)
     msg = jnp.take(x, edges.src, axis=0)           # [E, in]   gather
     msg = grouped_matmul(msg, w, edges.group_sizes, backend=backend)  # [E, out]
