@@ -110,6 +110,27 @@ class Graph:
         self.relations = {rel: i for i, rel in enumerate(sorted(predicates))}
         self._build_edges(triples)
 
+    def init_from_native(self, path: str):
+        """Build vocab + edges via the C++ parser (native/ntgraph.cpp).
+
+        Returns the native rdf:type (subject, object) pairs on success, or
+        None when the native library is unavailable (caller falls back to
+        the Python path). Semantics identical to :meth:`init_graph`.
+        """
+        from scaling_rgcn_training_tpu.graphs import _native
+
+        res = _native.parse_graph(path) if _native.get_lib() else None
+        if res is None:
+            return None
+        nodes, rels, src, dst, typ, n_uniq, type_pairs = res
+        self.nodes = nodes
+        self.num_nodes = len(nodes)
+        self.node_to_enum = {n: i for i, n in enumerate(nodes)}
+        self.relations = {r: i for i, r in enumerate(rels)}
+        self.num_edges = n_uniq
+        self.edge_src, self.edge_dst, self.edge_type = src, dst, typ
+        return type_pairs
+
     def _build_edges(self, triples: Sequence[Tuple[str, str, str]]) -> None:
         """Doubled (forward 2r / inverse 2r+1) edge arrays (graphs/graph.py:56-63)."""
         n2e, rels = self.node_to_enum, self.relations

@@ -63,15 +63,8 @@ def count_unique_lines(path: str) -> int:
 def read_triples(path: str) -> List[Tuple[str, str, str]]:
     """Parse a .nt file into lowercased (s, p, o) triples.
 
-    Uses the native C++ parser when available (large graphs: AM has ~6M
-    lines), falling back to the pure-Python path.
+    Pure-Python path; the native C++ fast path operates at the Graph level
+    (``Graph.init_from_native``), where it can skip materializing Python
+    tuples entirely.
     """
-    try:
-        from scaling_rgcn_training_tpu.graphs import _native
-
-        triples = _native.parse_nt(path)
-        if triples is not None:
-            return triples
-    except ImportError:
-        pass
     return list(iter_triples(read_lines(path)))

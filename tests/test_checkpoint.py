@@ -1,0 +1,79 @@
+"""Checkpoint/resume: bitwise state roundtrip + resume-equals-straight-run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from scaling_rgcn_training_tpu.models import init_emb_model, apply_emb_model
+from scaling_rgcn_training_tpu.ops import build_rel_edges
+from scaling_rgcn_training_tpu.train.losses import bce_loss
+from scaling_rgcn_training_tpu.train.optim import make_optimizer
+from scaling_rgcn_training_tpu.utils.checkpoint import (
+    save_checkpoint, load_checkpoint, save_transfer_state, load_transfer_state)
+
+
+def _setup(seed=0, n=30, e=100, r=3, d=8, hl=6, c=3):
+    rng = np.random.default_rng(seed)
+    edges = build_rel_edges(
+        rng.integers(0, n, e).astype(np.int32),
+        rng.integers(0, n, e).astype(np.int32),
+        rng.integers(0, 2 * r, e).astype(np.int32), n, 2 * r + 1, 32)
+    params = init_emb_model(jax.random.key(seed), 2 * r + 1, hl, c, n, d)
+    opt = make_optimizer(0.01, 5e-5)
+    x = jnp.arange(10, dtype=jnp.int32)
+    y = jax.nn.one_hot(jnp.arange(10) % c, c)
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(
+            lambda p: bce_loss(apply_emb_model(p, edges, backend="gather")[x], y))(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, loss
+
+    return params, opt, step
+
+
+def test_roundtrip_bitwise(tmp_path):
+    params, opt, step = _setup()
+    state = opt.init(params)
+    for _ in range(3):
+        params, state, _ = step(params, state)
+    f = save_checkpoint(str(tmp_path / "ck"), params, state, epoch=3)
+    p2, s2, epoch = load_checkpoint(f, params, state)
+    assert epoch == 3
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_equals_straight_run(tmp_path):
+    params, opt, step = _setup(seed=1)
+    # straight: 5 steps
+    p_a, s_a = params, opt.init(params)
+    for _ in range(5):
+        p_a, s_a, _ = step(p_a, s_a)
+    # split: 3 steps -> checkpoint -> restore -> 2 steps
+    p_b, s_b = params, opt.init(params)
+    for _ in range(3):
+        p_b, s_b, _ = step(p_b, s_b)
+    f = save_checkpoint(str(tmp_path / "mid"), p_b, s_b, epoch=3)
+    p_c, s_c, _ = load_checkpoint(f, p_b, s_b)
+    for _ in range(2):
+        p_c, s_c, _ = step(p_c, s_c)
+    for a, b in zip(jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_c)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_transfer_state_roundtrip(tmp_path):
+    params, _, _ = _setup(seed=2)
+    embs = [np.random.default_rng(i).standard_normal((7, 8)).astype(np.float32)
+            for i in range(3)]
+    f = save_transfer_state(str(tmp_path / "tr"), params, embs)
+    trunk, embs2 = load_transfer_state(f, params)
+    assert len(embs2) == 3
+    for a, b in zip(embs, embs2):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(
+        np.asarray(params.rgcn1.weight), np.asarray(trunk.rgcn1.weight))
