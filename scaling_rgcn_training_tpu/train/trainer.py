@@ -70,46 +70,59 @@ class Trainer:
             loss_fn: Callable, activation: str, sum_graph: bool = True,
             mask: Any = None, verbose: bool = True,
             ) -> Tuple[Any, List[float], List[float], List[float], List[float]]:
+        """The whole training run is ONE jitted ``lax.scan`` over epochs —
+        a single device dispatch instead of one per epoch (the reference's
+        Python epoch loop, modelTrainer.py:51-72, dispatches every op).
+        Per-epoch metric series come back as device arrays."""
         optimizer = make_optimizer(self.lr, self.weight_d)
         opt_state = optimizer.init(params)
         backend = self.backend
+        epochs = self.epochs
+        rng0 = self._next_rng()
 
-        @jax.jit
-        def train_step(params, opt_state, rng):
+        def epoch_step(carry, _):
+            params, opt_state, rng = carry
+            if not sum_graph:
+                # validation eval BEFORE the update (modelTrainer.py:53-59)
+                logits = apply_fn(params, graph.edges, train=False, backend=backend)
+                acc, f1_w, f1_m = evaluate(logits, graph.x_val, graph.y_val, activation)
+            else:
+                acc = f1_w = f1_m = jnp.float32(0)
+
+            rng, sub = jax.random.split(rng)
+
             def loss_of(p):
-                logits = apply_fn(p, graph.edges, train=True, rng=rng, backend=backend)
+                logits = apply_fn(p, graph.edges, train=True, rng=sub, backend=backend)
                 return loss_fn(logits[graph.x_train], graph.y_train)
 
             loss, grads = jax.value_and_grad(loss_of)(params)
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             updates = apply_mask(updates, mask)
-            return optax.apply_updates(params, updates), new_opt_state, loss
+            new_params = optax.apply_updates(params, updates)
+            return (new_params, new_opt_state, rng), (loss, acc, f1_w, f1_m)
 
         @jax.jit
-        def eval_step(params):
-            logits = apply_fn(params, graph.edges, train=False, backend=backend)
-            return evaluate(logits, graph.x_val, graph.y_val, activation)
+        def run(params, opt_state, rng):
+            return jax.lax.scan(epoch_step, (params, opt_state, rng), None, length=epochs)
 
-        accuracies: List[float] = []
-        losses: List[float] = []
-        f1_ws: List[float] = []
-        f1_ms: List[float] = []
+        (params, _, _), (losses, accs, f1_ws, f1_ms) = run(params, opt_state, rng0)
+        losses = [float(v) for v in np.asarray(losses)]
+        if sum_graph:
+            accs_l: List[float] = []
+            f1w_l: List[float] = []
+            f1m_l: List[float] = []
+        else:
+            accs_l = [float(v) for v in np.asarray(accs)]
+            f1w_l = [float(v) for v in np.asarray(f1_ws)]
+            f1m_l = [float(v) for v in np.asarray(f1_ms)]
+        if verbose:
+            for epoch in range(epochs):
+                if not sum_graph:
+                    print(f"Accuracy on validation set = {accs_l[epoch]}")
+                if epoch % 10 == 0:
+                    print(f"Epoch: {epoch}, Loss: {losses[epoch]:.4f}")
 
-        for epoch in range(self.epochs):
-            if not sum_graph:
-                acc, f1_w, f1_m = (float(v) for v in eval_step(params))
-                if verbose:
-                    print(f"Accuracy on validation set = {acc}")
-                accuracies.append(acc)
-                f1_ws.append(f1_w)
-                f1_ms.append(f1_m)
-
-            params, opt_state, loss = train_step(params, opt_state, self._next_rng())
-            losses.append(float(loss))
-            if verbose and epoch % 10 == 0:
-                print(f"Epoch: {epoch}, Loss: {float(loss):.4f}")
-
-        return params, accuracies, losses, f1_ws, f1_ms
+        return params, accs_l, losses, f1w_l, f1m_l
 
     # -- summary pre-training (modelTrainer.py:76-82) ----------------------
 
