@@ -8,27 +8,41 @@ default ``aggr='mean'``, ``root_weight=True``, ``bias=True``):
 
 where ``N_r(i)`` are sources of edges of relation ``r`` arriving at ``i``.
 
-TPU-native design (none of this mirrors PyG's implementation):
+TPU-native design (none of this mirrors PyG's implementation). Everything
+is static-shaped and driven by a measured performance model of the chip:
+
+- HBM traffic is the bottleneck; the MXU is effectively free at these
+  operand sizes (v5e measured: 200 GB/s streaming vs 58 TFLOP/s f32).
+- XLA gathers stream from HBM fine at any table size; XLA scatters fall
+  off an ~80x cliff once the target table exceeds VMEM (measured:
+  [1M,16] rows into 3 MB table = 1.4 ms, into 131 MB table = 112 ms).
+
+Hence:
 - Edges are preprocessed ONCE per graph into :class:`RelEdges`: sorted by
-  relation, padded to a static size, with the per-edge mean-normalization
-  coefficient ``1/deg_r(dst)`` precomputed (it depends only on graph
-  structure). Padding edges carry ``norm = 0`` so they contribute nothing.
-- The forward pass is then three dense-friendly stages, all static-shaped:
-    1. gather        ``msg = x[src]``                       [E, d_in]
-    2. grouped matmul ``msg @= weight[rel]``                 [E, d_out]
-       (one ``lax.ragged_dot`` over relation-contiguous rows -> MXU)
-    3. scale+scatter ``out = segment_sum(msg * norm, dst)``  [N, d_out]
-  FLOPs are proportional to edges (not nodes x relations, which is what a
-  per-relation dense loop would cost).
+  (relation, dst), padded to a static size, with the per-edge
+  ``1/deg_r(dst)`` mean coefficient precomputed (pads carry ``norm=0``).
+- The forward picks its dataflow by traffic (``_edge_traffic_mode``):
+  * ``prematmul`` — transform-first. ``Z[r] = X @ W[r]`` on the MXU, then
+    per-edge gather from Z + scatter on the NARROW d_out side only.
+  * ``edge`` — gather x[src] -> one grouped matmul over the
+    relation-contiguous rows (``lax.ragged_dot`` or the Pallas kernel)
+    -> scale -> segment-sum. Used when Z would not fit (huge N*R).
+- The backward is hand-written (``relational_aggregate``'s custom VJP) so
+  that NO scatter ever targets a table larger than VMEM:
+  * small N*R: unrolled per-relation loop; each relation's cotangent
+    reduction hits an [N, d_out] table and contracts with W_r on the spot
+    (the [R*N, d_out] cotangent never materializes);
+  * large N: cotangent messages are permuted to src-sorted order (a
+    gather) and reduced by the write-once Pallas segmented-reduction
+    kernel (ops/segment_kernels.py) into [N, d_in].
 - Basis / block-diagonal decompositions (features the reference's op API
   exposes but leaves disabled) are first-class: weights are stored
-  decomposed and materialized to ``[R, in, out]`` on the fly (they are tiny
-  relative to activations, and XLA fuses the einsum into the ragged dot's
-  operand production).
+  decomposed and materialized to ``[R, in, out]`` on the fly (tiny).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -36,30 +50,58 @@ import jax.numpy as jnp
 import numpy as np
 
 from scaling_rgcn_training_tpu.ops.grouped_matmul import grouped_matmul
+from scaling_rgcn_training_tpu.ops.segment_kernels import (
+    SegmentPlan, plan_segmented_reduce, sorted_segment_sum_pallas)
+
+# scatters into tables beyond this are the slow path (VMEM cliff + init
+# traffic); drives forward-mode and backward-strategy selection
+_SMALL_TABLE_BYTES = 256 << 20
 
 
 class RelEdges(NamedTuple):
     """Static-shaped, relation-sorted edge arrays for one graph.
 
-    ``src``/``dst``: int32 [E_pad]; ``norm``: float32 [E_pad] (the
+    ``src``/``dst``/``rel``: int32 [E_pad]; ``norm``: float32 [E_pad] (the
     ``1/deg_r(dst)`` mean coefficient, 0 for padding rows); ``group_sizes``:
     int32 [num_slots] edge counts per relation slot (padding rows are
     appended to the final slot, which the reference keeps empty — see
-    ``Graph.num_relation_slots``); ``num_nodes``: static int.
+    ``Graph.num_relation_slots``).
+
+    Backward-pass layout (built only for large graphs, else None):
+    ``src_perm`` [E_pad] permutation to src-sorted order, ``src_sorted``
+    [E_pad] the src values in that order, ``src_plan`` the bucket plan for
+    the write-once segmented reduction into [N, *].
+
+    Static aux: ``num_nodes``, ``group_offsets`` (per-slot edge offsets,
+    drives unrolled per-relation slicing).
     """
 
     src: jnp.ndarray
     dst: jnp.ndarray
     norm: jnp.ndarray
     group_sizes: jnp.ndarray
+    rel: jnp.ndarray
+    src_perm: Optional[jnp.ndarray]
+    src_sorted: Optional[jnp.ndarray]
+    src_plan: Optional[SegmentPlan]
     num_nodes: int
+    group_offsets: tuple = ()
 
 
-# RelEdges is a pytree whose num_nodes leaf must stay static under jit.
 jax.tree_util.register_pytree_node(
     RelEdges,
-    lambda e: ((e.src, e.dst, e.norm, e.group_sizes), e.num_nodes),
-    lambda aux, ch: RelEdges(*ch, num_nodes=aux),
+    lambda e: ((e.src, e.dst, e.norm, e.group_sizes, e.rel,
+                e.src_perm, e.src_sorted, e.src_plan),
+               (e.num_nodes, e.group_offsets)),
+    lambda aux, ch: RelEdges(*ch, num_nodes=aux[0], group_offsets=aux[1]),
+)
+
+# SegmentPlan: offsets array is data; the shape/bucket ints are static.
+jax.tree_util.register_pytree_node(
+    SegmentPlan,
+    lambda p: ((p.offsets,),
+               (p.num_segments, p.bucket_rows, p.chunk, p.max_chunks, p.padded_edges)),
+    lambda aux, ch: SegmentPlan(ch[0], *aux),
 )
 
 
@@ -74,8 +116,8 @@ def build_rel_edges(
     """Preprocess a raw edge list into the static TPU layout.
 
     Host-side, runs once per graph. Sorts edges by (relation, dst) —
-    relation-contiguity feeds the grouped matmul; dst-sortedness within each
-    relation makes the final segment-sum access pattern mostly monotonic.
+    relation-contiguity feeds the grouped matmul; dst-sortedness within
+    each relation keeps the forward scatter access pattern monotonic.
     """
     edge_src = np.asarray(edge_src, np.int32)
     edge_dst = np.asarray(edge_dst, np.int32)
@@ -98,14 +140,30 @@ def build_rel_edges(
         src = np.concatenate([src, np.zeros(n_pad, np.int32)])
         dst = np.concatenate([dst, np.zeros(n_pad, np.int32)])
         norm = np.concatenate([norm, np.zeros(n_pad, np.float32)])
+        typ = np.concatenate([typ, np.full(n_pad, num_slots - 1, np.int32)])
         group_sizes[num_slots - 1] += n_pad  # pad rows live in the empty slot
 
+    # big-graph backward layout: src-sorted write-once reduction plan
+    src_perm = src_sorted = src_plan = None
+    if num_nodes * num_slots * 16 * 4 >= _SMALL_TABLE_BYTES:
+        perm = np.argsort(src, kind="stable").astype(np.int32)
+        src_sorted_np = src[perm]
+        src_perm = jnp.asarray(perm)
+        src_sorted = jnp.asarray(src_sorted_np)
+        src_plan = plan_segmented_reduce(src_sorted_np, num_nodes)
+
+    offsets = tuple(int(v) for v in np.concatenate([[0], np.cumsum(group_sizes)]))
     return RelEdges(
         src=jnp.asarray(src),
         dst=jnp.asarray(dst),
         norm=jnp.asarray(norm),
         group_sizes=jnp.asarray(group_sizes),
+        rel=jnp.asarray(typ),
+        src_perm=src_perm,
+        src_sorted=src_sorted,
+        src_plan=src_plan,
         num_nodes=int(num_nodes),
+        group_offsets=offsets,
     )
 
 
@@ -188,17 +246,108 @@ def init_rgcn_layer(
     )
 
 
+def _edge_traffic_mode(num_nodes: int, num_slots: int, num_edges: int,
+                       d_in: int, d_out: int) -> str:
+    """Pick the forward dataflow by HBM traffic (the measured bottleneck).
+
+    ``prematmul`` moves 4*d_out bytes/edge (fwd gather + bwd gather of the
+    cotangent) at the cost of the [R, N, d_out] Z table; ``edge`` moves
+    ~2*(d_in + d_out) bytes/edge with no table. Z must also stay well clear
+    of the scatter cliff for the backward's per-relation reduction.
+    """
+    z_bytes = num_nodes * num_slots * d_out * 4
+    if d_out < d_in and z_bytes < 2 * num_edges * d_in * 4 and \
+            z_bytes < _SMALL_TABLE_BYTES:
+        return "prematmul"
+    return "edge"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def relational_aggregate(x, w, edges: RelEdges, mode: str = "edge",
+                         backend: Optional[str] = None):
+    """sum_e norm_e * (x[src_e] @ W[rel_e]) scattered onto dst: [N, d_out].
+
+    The message-passing core with a hand-written backward (see module
+    docstring for the dataflow rationale). ``mode``/``backend`` are static.
+    """
+    return _aggregate_fwd_impl(x, w, edges, mode, backend)
+
+
+def _aggregate_fwd_impl(x, w, edges: RelEdges, mode, backend):
+    n = edges.num_nodes
+    d_out = w.shape[2]
+    if mode == "prematmul":
+        z = jnp.einsum("nd,rdh->rnh", x, w,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        msg = jnp.take(z.reshape(-1, d_out), edges.rel * n + edges.src, axis=0)
+    else:
+        msg = jnp.take(x, edges.src, axis=0)
+        msg = grouped_matmul(msg, w, edges.group_sizes, backend=backend)
+    msg = msg * edges.norm[:, None]
+    return jax.ops.segment_sum(msg, edges.dst, num_segments=n)
+
+
+def _aggregate_fwd(x, w, edges, mode, backend):
+    return _aggregate_fwd_impl(x, w, edges, mode, backend), (x, w, edges)
+
+
+def _aggregate_bwd(mode, backend, res, g_out):
+    x, w, edges = res
+    n = edges.num_nodes
+    slots, d_in, d_out = w.shape
+    g_msg = jnp.take(g_out, edges.dst, axis=0) * edges.norm[:, None]  # [E, h]
+
+    small_tables = n * slots * d_out * 4 < _SMALL_TABLE_BYTES
+    if small_tables or edges.src_plan is None:
+        # unrolled per-relation loop: every reduction hits an [N, d_out]
+        # table (VMEM-friendly) and contracts with W_r immediately
+        dx = jnp.zeros_like(x)
+        dw_slots = []
+        offs = edges.group_offsets
+        for r in range(slots):
+            lo, hi = offs[r], offs[r + 1]
+            if hi == lo:
+                dw_slots.append(jnp.zeros((d_in, d_out), w.dtype))
+                continue
+            dz_r = jax.ops.segment_sum(
+                g_msg[lo:hi], edges.src[lo:hi], num_segments=n)   # [N, h]
+            dx = dx + dz_r @ w[r].T
+            dw_slots.append(jax.lax.dot_general(
+                x, dz_r, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(w.dtype))
+        dw = jnp.stack(dw_slots)
+    else:
+        # large-N path: per-edge transform back to d_in, then a write-once
+        # src-sorted segmented reduction (Pallas) into [N, d_in]
+        dmsg = grouped_matmul(g_msg, jnp.swapaxes(w, 1, 2),
+                              edges.group_sizes, backend=backend)   # [E, d_in]
+        dmsg_sorted = jnp.take(dmsg, edges.src_perm, axis=0)
+        dx = sorted_segment_sum_pallas(dmsg_sorted, edges.src_sorted,
+                                       edges.src_plan).astype(x.dtype)
+        # dw still needs per-relation contraction; x[src] is gathered once
+        xs = jnp.take(x, edges.src, axis=0)                         # [E, d_in]
+        from scaling_rgcn_training_tpu.ops import pallas_kernels
+
+        dw = pallas_kernels._drhs(xs, g_msg, edges.group_sizes,
+                                  (slots, d_in, d_out)).astype(w.dtype)
+
+    return dx, dw, None
+
+
+relational_aggregate.defvjp(_aggregate_fwd, _aggregate_bwd)
+
+
 def rgcn_conv(
     x: jnp.ndarray,
     edges: RelEdges,
     params: RGCNLayerParams,
     backend: str | None = None,
+    mode: str = "auto",
 ) -> jnp.ndarray:
     """Apply one R-GCN layer: ``[N, in] -> [N, out]``.
 
-    Jit-safe: everything static-shaped. The grouped matmul runs over
-    relation-contiguous edge rows; padding rows are killed by ``norm == 0``
-    before the scatter, so the extra rows in the final (empty) relation slot
+    Jit-safe: everything static-shaped. Padding rows are killed by
+    ``norm == 0``, so the extra rows in the final (empty) relation slot
     never contribute.
 
     Dispatch: when ``edges`` is a ``parallel.ShardedRelEdges`` (edge lists
@@ -212,9 +361,10 @@ def rgcn_conv(
         assert mesh is not None, (
             "rgcn_conv got sharded edges outside a parallel.use_mesh(...) scope")
         return sharded_rgcn_conv(x, edges, params, mesh, backend=backend)
+
     w = materialize_weight(params)
-    msg = jnp.take(x, edges.src, axis=0)           # [E, in]   gather
-    msg = grouped_matmul(msg, w, edges.group_sizes, backend=backend)  # [E, out]
-    msg = msg * edges.norm[:, None]                # mean coeff; pads -> 0
-    agg = jax.ops.segment_sum(msg, edges.dst, num_segments=edges.num_nodes)
+    if mode == "auto":
+        mode = _edge_traffic_mode(edges.num_nodes, w.shape[0],
+                                  edges.src.shape[0], w.shape[1], w.shape[2])
+    agg = relational_aggregate(x, w, edges, mode, backend)
     return agg + x @ params.root + params.bias

@@ -164,3 +164,30 @@ def test_init_distributions():
     bound_r = np.sqrt(6.0 / (d_in + d_out))
     assert np.abs(r).max() <= bound_r
     assert np.all(np.asarray(params.bias) == 0)
+
+
+@pytest.mark.parametrize("mode", ["edge", "prematmul"])
+def test_custom_vjp_matches_autodiff(mode):
+    """relational_aggregate's hand-written backward == plain autodiff."""
+    from scaling_rgcn_training_tpu.ops.rgcn_conv import (
+        relational_aggregate, _aggregate_fwd_impl)
+
+    rng = np.random.default_rng(7)
+    n, e, r, d_in, d_out = 30, 111, 3, 8, 5
+    src, dst, typ, x = random_graph(rng, n, e, r, d_in)
+    slots = 2 * r + 1
+    edges = build_rel_edges(src, dst, typ, n, slots, pad_to_multiple=64)
+    w = jnp.asarray(rng.standard_normal((slots, d_in, d_out)), jnp.float32)
+    xj = jnp.asarray(x)
+    g_out = jnp.asarray(rng.standard_normal((n, d_out)), jnp.float32)
+
+    def loss_custom(xv, wv):
+        return jnp.vdot(relational_aggregate(xv, wv, edges, mode, "gather"), g_out)
+
+    def loss_auto(xv, wv):
+        return jnp.vdot(_aggregate_fwd_impl(xv, wv, edges, mode, "gather"), g_out)
+
+    gx_c, gw_c = jax.grad(loss_custom, argnums=(0, 1))(xj, w)
+    gx_a, gw_a = jax.grad(loss_auto, argnums=(0, 1))(xj, w)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_a), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_a), rtol=1e-4, atol=1e-5)
