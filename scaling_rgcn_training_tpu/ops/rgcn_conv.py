@@ -56,6 +56,8 @@ from scaling_rgcn_training_tpu.ops.segment_kernels import (
 # scatters into tables beyond this are the slow path (VMEM cliff + init
 # traffic); drives forward-mode and backward-strategy selection
 _SMALL_TABLE_BYTES = 256 << 20
+# cap on N*slots for materializing the [N*slots, h] cotangent in backward
+_MAX_COTANGENT_ENTRIES = 8 << 20
 
 
 class RelEdges(NamedTuple):
@@ -67,13 +69,16 @@ class RelEdges(NamedTuple):
     appended to the final slot, which the reference keeps empty — see
     ``Graph.num_relation_slots``).
 
-    Backward-pass layout (built only for large graphs, else None):
-    ``src_perm`` [E_pad] permutation to src-sorted order, ``src_sorted``
-    [E_pad] the src values in that order, ``src_plan`` the bucket plan for
-    the write-once segmented reduction into [N, *].
+    Backward-pass layout (src-major ordering for the write-once Pallas
+    reductions): ``bwd_perm`` [E_pad] permutation to (src, rel)-sorted
+    order; ``bwd_src`` [E_pad] src values in that order; ``bwd_keys``
+    [E_pad] ``src*slots + rel`` keys in that order (None when N*slots is
+    too large to materialize the [N*slots, h] cotangent); ``bwd_plan``
+    the bucket plan over N*slots segments (or over N segments when
+    bwd_keys is None — the large-graph path).
 
     Static aux: ``num_nodes``, ``group_offsets`` (per-slot edge offsets,
-    drives unrolled per-relation slicing).
+    drives static per-relation slicing).
     """
 
     src: jnp.ndarray
@@ -81,9 +86,10 @@ class RelEdges(NamedTuple):
     norm: jnp.ndarray
     group_sizes: jnp.ndarray
     rel: jnp.ndarray
-    src_perm: Optional[jnp.ndarray]
-    src_sorted: Optional[jnp.ndarray]
-    src_plan: Optional[SegmentPlan]
+    bwd_perm: Optional[jnp.ndarray]
+    bwd_src: Optional[jnp.ndarray]
+    bwd_keys: Optional[jnp.ndarray]
+    bwd_plan: Optional[SegmentPlan]
     num_nodes: int
     group_offsets: tuple = ()
 
@@ -91,7 +97,7 @@ class RelEdges(NamedTuple):
 jax.tree_util.register_pytree_node(
     RelEdges,
     lambda e: ((e.src, e.dst, e.norm, e.group_sizes, e.rel,
-                e.src_perm, e.src_sorted, e.src_plan),
+                e.bwd_perm, e.bwd_src, e.bwd_keys, e.bwd_plan),
                (e.num_nodes, e.group_offsets)),
     lambda aux, ch: RelEdges(*ch, num_nodes=aux[0], group_offsets=aux[1]),
 )
@@ -143,14 +149,21 @@ def build_rel_edges(
         typ = np.concatenate([typ, np.full(n_pad, num_slots - 1, np.int32)])
         group_sizes[num_slots - 1] += n_pad  # pad rows live in the empty slot
 
-    # big-graph backward layout: src-sorted write-once reduction plan
-    src_perm = src_sorted = src_plan = None
-    if num_nodes * num_slots * 16 * 4 >= _SMALL_TABLE_BYTES:
-        perm = np.argsort(src, kind="stable").astype(np.int32)
-        src_sorted_np = src[perm]
-        src_perm = jnp.asarray(perm)
-        src_sorted = jnp.asarray(src_sorted_np)
-        src_plan = plan_segmented_reduce(src_sorted_np, num_nodes)
+    # backward layout: (src, rel)-sorted permutation for write-once
+    # segmented reductions. Small graphs reduce over N*slots (src, rel)
+    # segments (the [N*slots, h] cotangent is then contracted densely);
+    # large graphs reduce over N segments after a per-edge transform.
+    perm = np.lexsort((typ, src)).astype(np.int32)
+    bwd_src_np = src[perm]
+    bwd_perm = jnp.asarray(perm)
+    bwd_src = jnp.asarray(bwd_src_np)
+    if num_nodes * num_slots <= _MAX_COTANGENT_ENTRIES:
+        keys_np = bwd_src_np.astype(np.int64) * num_slots + typ[perm]
+        bwd_keys = jnp.asarray(keys_np.astype(np.int32))
+        bwd_plan = plan_segmented_reduce(keys_np, num_nodes * num_slots)
+    else:
+        bwd_keys = None
+        bwd_plan = plan_segmented_reduce(bwd_src_np, num_nodes)
 
     offsets = tuple(int(v) for v in np.concatenate([[0], np.cumsum(group_sizes)]))
     return RelEdges(
@@ -159,9 +172,10 @@ def build_rel_edges(
         norm=jnp.asarray(norm),
         group_sizes=jnp.asarray(group_sizes),
         rel=jnp.asarray(typ),
-        src_perm=src_perm,
-        src_sorted=src_sorted,
-        src_plan=src_plan,
+        bwd_perm=bwd_perm,
+        bwd_src=bwd_src,
+        bwd_keys=bwd_keys,
+        bwd_plan=bwd_plan,
         num_nodes=int(num_nodes),
         group_offsets=offsets,
     )
@@ -296,35 +310,42 @@ def _aggregate_bwd(mode, backend, res, g_out):
     n = edges.num_nodes
     slots, d_in, d_out = w.shape
     g_msg = jnp.take(g_out, edges.dst, axis=0) * edges.norm[:, None]  # [E, h]
+    on_tpu = jax.default_backend() == "tpu"
 
-    small_tables = n * slots * d_out * 4 < _SMALL_TABLE_BYTES
-    if small_tables or edges.src_plan is None:
-        # unrolled per-relation loop: every reduction hits an [N, d_out]
-        # table (VMEM-friendly) and contracts with W_r immediately
-        dx = jnp.zeros_like(x)
-        dw_slots = []
-        offs = edges.group_offsets
-        for r in range(slots):
-            lo, hi = offs[r], offs[r + 1]
-            if hi == lo:
-                dw_slots.append(jnp.zeros((d_in, d_out), w.dtype))
-                continue
-            dz_r = jax.ops.segment_sum(
-                g_msg[lo:hi], edges.src[lo:hi], num_segments=n)   # [N, h]
-            dx = dx + dz_r @ w[r].T
-            dw_slots.append(jax.lax.dot_general(
-                x, dz_r, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(w.dtype))
-        dw = jnp.stack(dw_slots)
-    else:
-        # large-N path: per-edge transform back to d_in, then a write-once
-        # src-sorted segmented reduction (Pallas) into [N, d_in]
+    if not on_tpu:
+        # CPU/GPU: XLA scatter has no VMEM cliff; plain formulation
         dmsg = grouped_matmul(g_msg, jnp.swapaxes(w, 1, 2),
                               edges.group_sizes, backend=backend)   # [E, d_in]
-        dmsg_sorted = jnp.take(dmsg, edges.src_perm, axis=0)
-        dx = sorted_segment_sum_pallas(dmsg_sorted, edges.src_sorted,
-                                       edges.src_plan).astype(x.dtype)
-        # dw still needs per-relation contraction; x[src] is gathered once
+        dx = jax.ops.segment_sum(dmsg, edges.src, num_segments=n).astype(x.dtype)
+        xs = jnp.take(x, edges.src, axis=0)
+        # dw[r] = sum_{e in r} x[src_e]^T g_msg_e — one segment-sum of edge
+        # outer products per relation via einsum over the group one-hot
+        gid = jnp.repeat(jnp.arange(slots), jnp.asarray(edges.group_sizes),
+                         total_repeat_length=g_msg.shape[0])
+        dz_pairs = xs[:, :, None] * g_msg[:, None, :]               # [E, d_in, d_out]
+        dw = jax.ops.segment_sum(
+            dz_pairs.reshape(-1, d_in * d_out), gid, num_segments=slots
+        ).reshape(slots, d_in, d_out).astype(w.dtype)
+        return dx, dw, None
+
+    if edges.bwd_keys is not None:
+        # small/medium graphs: ONE write-once Pallas reduction into the
+        # [N, slots, h] cotangent, then dense MXU contractions
+        gp = jnp.take(g_msg, edges.bwd_perm, axis=0)
+        dz = sorted_segment_sum_pallas(gp, edges.bwd_keys, edges.bwd_plan)
+        dz = dz.reshape(n, slots, d_out)
+        dx = jnp.einsum("nrh,rdh->nd", dz, w,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        dw = jnp.einsum("nd,nrh->rdh", x, dz,
+                        preferred_element_type=jnp.float32).astype(w.dtype)
+    else:
+        # large-N path: per-edge transform back to d_in, then a write-once
+        # src-sorted reduction into [N, d_in]
+        dmsg = grouped_matmul(g_msg, jnp.swapaxes(w, 1, 2),
+                              edges.group_sizes, backend=backend)   # [E, d_in]
+        dmsg_sorted = jnp.take(dmsg, edges.bwd_perm, axis=0)
+        dx = sorted_segment_sum_pallas(dmsg_sorted, edges.bwd_src,
+                                       edges.bwd_plan).astype(x.dtype)
         xs = jnp.take(x, edges.src, axis=0)                         # [E, d_in]
         from scaling_rgcn_training_tpu.ops import pallas_kernels
 

@@ -16,6 +16,7 @@ pytrees closed over by XLA once per shape. Freezing is an optax update mask
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -30,6 +31,57 @@ from scaling_rgcn_training_tpu.models import heads as model_heads
 from scaling_rgcn_training_tpu.train.losses import get_loss
 from scaling_rgcn_training_tpu.train.metrics import evaluate, predictions
 from scaling_rgcn_training_tpu.train.optim import apply_mask, make_optimizer
+
+
+def _hashable_mask(mask):
+    if mask is None:
+        return None
+    leaves, treedef = jax.tree_util.tree_flatten(mask)
+    return (tuple(leaves), treedef)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_fit_fn(apply_fn, loss_fn, activation, sum_graph, epochs,
+                   lr, weight_d, mask_key, backend):
+    """One jitted whole-training scan per static configuration.
+
+    The reference re-instantiates everything per iteration (main.py:49-52),
+    which here would mean recompiling the scan i times; caching on the
+    static config makes iterations and repeated experiments reuse the
+    compiled program (shapes are part of jit's own cache key via ``graph``).
+    """
+    optimizer = make_optimizer(lr, weight_d)
+    mask = None if mask_key is None else jax.tree_util.tree_unflatten(
+        mask_key[1], list(mask_key[0]))
+
+    def epoch_step(graph, carry, _):
+        params, opt_state, rng = carry
+        if not sum_graph:
+            # validation eval BEFORE the update (modelTrainer.py:53-59)
+            logits = apply_fn(params, graph.edges, train=False, backend=backend)
+            acc, f1_w, f1_m = evaluate(logits, graph.x_val, graph.y_val, activation)
+        else:
+            acc = f1_w = f1_m = jnp.float32(0)
+
+        rng, sub = jax.random.split(rng)
+
+        def loss_of(p):
+            logits = apply_fn(p, graph.edges, train=True, rng=sub, backend=backend)
+            return loss_fn(logits[graph.x_train], graph.y_train)
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        updates = apply_mask(updates, mask)
+        new_params = optax.apply_updates(params, updates)
+        return (new_params, new_opt_state, rng), (loss, acc, f1_w, f1_m)
+
+    @jax.jit
+    def run(params, opt_state, rng, graph):
+        return jax.lax.scan(
+            functools.partial(epoch_step, graph),
+            (params, opt_state, rng), None, length=epochs)
+
+    return run
 
 
 class Trainer:
@@ -76,36 +128,12 @@ class Trainer:
         Per-epoch metric series come back as device arrays."""
         optimizer = make_optimizer(self.lr, self.weight_d)
         opt_state = optimizer.init(params)
-        backend = self.backend
-        epochs = self.epochs
         rng0 = self._next_rng()
-
-        def epoch_step(carry, _):
-            params, opt_state, rng = carry
-            if not sum_graph:
-                # validation eval BEFORE the update (modelTrainer.py:53-59)
-                logits = apply_fn(params, graph.edges, train=False, backend=backend)
-                acc, f1_w, f1_m = evaluate(logits, graph.x_val, graph.y_val, activation)
-            else:
-                acc = f1_w = f1_m = jnp.float32(0)
-
-            rng, sub = jax.random.split(rng)
-
-            def loss_of(p):
-                logits = apply_fn(p, graph.edges, train=True, rng=sub, backend=backend)
-                return loss_fn(logits[graph.x_train], graph.y_train)
-
-            loss, grads = jax.value_and_grad(loss_of)(params)
-            updates, new_opt_state = optimizer.update(grads, opt_state, params)
-            updates = apply_mask(updates, mask)
-            new_params = optax.apply_updates(params, updates)
-            return (new_params, new_opt_state, rng), (loss, acc, f1_w, f1_m)
-
-        @jax.jit
-        def run(params, opt_state, rng):
-            return jax.lax.scan(epoch_step, (params, opt_state, rng), None, length=epochs)
-
-        (params, _, _), (losses, accs, f1_ws, f1_ms) = run(params, opt_state, rng0)
+        run = _cached_fit_fn(
+            apply_fn, loss_fn, activation, sum_graph, self.epochs,
+            self.lr, self.weight_d, _hashable_mask(mask), self.backend)
+        (params, _, _), (losses, accs, f1_ws, f1_ms) = run(
+            params, opt_state, rng0, graph)
         losses = [float(v) for v in np.asarray(losses)]
         if sum_graph:
             accs_l: List[float] = []
@@ -116,7 +144,7 @@ class Trainer:
             f1w_l = [float(v) for v in np.asarray(f1_ws)]
             f1m_l = [float(v) for v in np.asarray(f1_ms)]
         if verbose:
-            for epoch in range(epochs):
+            for epoch in range(self.epochs):
                 if not sum_graph:
                     print(f"Accuracy on validation set = {accs_l[epoch]}")
                 if epoch % 10 == 0:
