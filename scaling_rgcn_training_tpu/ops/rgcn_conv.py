@@ -28,13 +28,17 @@ Hence:
     relation-contiguous rows (``lax.ragged_dot`` or the Pallas kernel)
     -> scale -> segment-sum. Used when Z would not fit (huge N*R).
 - The backward is hand-written (``relational_aggregate``'s custom VJP) so
-  that NO scatter ever targets a table larger than VMEM:
-  * small N*R: unrolled per-relation loop; each relation's cotangent
-    reduction hits an [N, d_out] table and contracts with W_r on the spot
-    (the [R*N, d_out] cotangent never materializes);
-  * large N: cotangent messages are permuted to src-sorted order (a
-    gather) and reduced by the write-once Pallas segmented-reduction
-    kernel (ops/segment_kernels.py) into [N, d_in].
+  that NO scatter ever targets a table larger than VMEM on TPU:
+  * small/medium N*R: ONE write-once Pallas segmented reduction
+    (ops/segment_kernels.py) of the cotangent messages keyed by the
+    precomputed (src, rel)-sorted order into [N, slots, h], followed by
+    dense MXU contractions for dx and dw;
+  * large N (cotangent table would not fit): per-edge transform back to
+    d_in via the grouped matmul, then a src-sorted write-once reduction
+    into [N, d_in]; dw via the Pallas grouped outer-product kernel.
+  The forward's [N, h] scatter likewise switches to a dst-sorted
+  write-once reduction once it would exceed VMEM.
+  Off-TPU (CPU/GPU tests), plain XLA scatters are used — no cliff there.
 - Basis / block-diagonal decompositions (features the reference's op API
   exposes but leaves disabled) are first-class: weights are stored
   decomposed and materialized to ``[R, in, out]`` on the fly (tiny).
@@ -58,6 +62,8 @@ from scaling_rgcn_training_tpu.ops.segment_kernels import (
 _SMALL_TABLE_BYTES = 256 << 20
 # cap on N*slots for materializing the [N*slots, h] cotangent in backward
 _MAX_COTANGENT_ENTRIES = 8 << 20
+# scatter targets beyond this no longer fit VMEM -> use the Pallas reduction
+_VMEM_TABLE_BYTES = 8 << 20
 
 
 class RelEdges(NamedTuple):
@@ -90,6 +96,9 @@ class RelEdges(NamedTuple):
     bwd_src: Optional[jnp.ndarray]
     bwd_keys: Optional[jnp.ndarray]
     bwd_plan: Optional[SegmentPlan]
+    dst_perm: Optional[jnp.ndarray]
+    dst_sorted: Optional[jnp.ndarray]
+    dst_plan: Optional[SegmentPlan]
     num_nodes: int
     group_offsets: tuple = ()
 
@@ -97,7 +106,8 @@ class RelEdges(NamedTuple):
 jax.tree_util.register_pytree_node(
     RelEdges,
     lambda e: ((e.src, e.dst, e.norm, e.group_sizes, e.rel,
-                e.bwd_perm, e.bwd_src, e.bwd_keys, e.bwd_plan),
+                e.bwd_perm, e.bwd_src, e.bwd_keys, e.bwd_plan,
+                e.dst_perm, e.dst_sorted, e.dst_plan),
                (e.num_nodes, e.group_offsets)),
     lambda aux, ch: RelEdges(*ch, num_nodes=aux[0], group_offsets=aux[1]),
 )
@@ -165,6 +175,15 @@ def build_rel_edges(
         bwd_keys = None
         bwd_plan = plan_segmented_reduce(bwd_src_np, num_nodes)
 
+    # forward scatter for large N: the [N, h] target exceeds VMEM, so the
+    # forward also switches to a dst-sorted write-once reduction
+    dst_perm = dst_sorted = dst_plan = None
+    if num_nodes * 16 * 4 > _VMEM_TABLE_BYTES:
+        dperm = np.argsort(dst, kind="stable").astype(np.int32)
+        dst_perm = jnp.asarray(dperm)
+        dst_sorted = jnp.asarray(dst[dperm])
+        dst_plan = plan_segmented_reduce(dst[dperm], num_nodes)
+
     offsets = tuple(int(v) for v in np.concatenate([[0], np.cumsum(group_sizes)]))
     return RelEdges(
         src=jnp.asarray(src),
@@ -176,6 +195,9 @@ def build_rel_edges(
         bwd_src=bwd_src,
         bwd_keys=bwd_keys,
         bwd_plan=bwd_plan,
+        dst_perm=dst_perm,
+        dst_sorted=dst_sorted,
+        dst_plan=dst_plan,
         num_nodes=int(num_nodes),
         group_offsets=offsets,
     )
@@ -298,6 +320,10 @@ def _aggregate_fwd_impl(x, w, edges: RelEdges, mode, backend):
         msg = jnp.take(x, edges.src, axis=0)
         msg = grouped_matmul(msg, w, edges.group_sizes, backend=backend)
     msg = msg * edges.norm[:, None]
+    if edges.dst_plan is not None and jax.default_backend() == "tpu":
+        msg = jnp.take(msg, edges.dst_perm, axis=0)
+        return sorted_segment_sum_pallas(msg, edges.dst_sorted, edges.dst_plan
+                                         ).astype(x.dtype)
     return jax.ops.segment_sum(msg, edges.dst, num_segments=n)
 
 
