@@ -35,6 +35,10 @@ def main() -> None:
     import jax.numpy as jnp
     import optax
 
+    from scaling_rgcn_training_tpu.utils import jaxcache
+
+    jaxcache.enable()
+
     from scaling_rgcn_training_tpu.models import init_emb_model, apply_emb_model
     from scaling_rgcn_training_tpu.ops import build_rel_edges
     from scaling_rgcn_training_tpu.train.losses import bce_loss

@@ -153,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from scaling_rgcn_training_tpu.utils import jaxcache
+
+    jaxcache.enable()
     timing.enable_program_banner()
     configs = vars(build_parser().parse_args(argv))
     paths = resolve_paths(configs)
