@@ -74,14 +74,15 @@ def main() -> None:
     inner = int(os.environ.get("BENCH_INNER", 10))
 
     def make_step(apply):
-        """jit of `inner` chained train steps (lax.scan): amortizes host
-        dispatch — essential when the device sits behind a network tunnel."""
+        """jit of `inner` chained train steps (lax.scan). Edge arrays are
+        jit ARGUMENTS — closing over large device arrays embeds them as HLO
+        constants and blows compile time up by minutes."""
 
-        def step_body(carry, _):
+        def step_body(ed, carry, _):
             params, opt_state = carry
 
             def loss_of(p):
-                logits = apply(p)
+                logits = apply(p, ed)
                 return bce_loss(logits[x_train], y_train)
 
             loss, grads = jax.value_and_grad(loss_of)(params)
@@ -89,24 +90,27 @@ def main() -> None:
             return (optax.apply_updates(params, updates), new_state), loss
 
         @jax.jit
-        def run(params, opt_state):
+        def run(params, opt_state, ed):
             (p, s), losses = jax.lax.scan(
-                step_body, (params, opt_state), None, length=inner)
+                lambda c, _: step_body(ed, c, _), (params, opt_state),
+                None, length=inner)
             return p, s, losses[-1]
 
         return run
 
     def time_steps(run, params, opt_state, n_calls):
-        p, s, loss = run(params, opt_state)  # compile + warmup
+        t0 = time.perf_counter()
+        p, s, loss = run(params, opt_state, edges)  # compile + warmup
         jax.block_until_ready(p)
+        log(f"  compile+first call: {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         for _ in range(n_calls):
-            p, s, loss = run(p, s)
+            p, s, loss = run(p, s, edges)
         jax.block_until_ready(p)
         return (time.perf_counter() - t0) / (n_calls * inner), float(loss)
 
     # --- TPU-native path ---------------------------------------------------
-    step_opt = make_step(lambda p: apply_emb_model(p, edges, backend=backend))
+    step_opt = make_step(lambda p, ed: apply_emb_model(p, ed, backend=backend))
     t_opt, loss_opt = time_steps(step_opt, params, opt_state, steps)
     edges_per_s = e * num_layers / t_opt
     log(f"optimized: {t_opt*1e3:.2f} ms/step  {edges_per_s/1e6:.1f} M edge-traversals/s  loss={loss_opt:.4f}")
@@ -114,12 +118,10 @@ def main() -> None:
     # --- reference-design baseline: per-relation masked aggregation loop ---
     from scaling_rgcn_training_tpu.ops.rgcn_conv import materialize_weight
 
-    def rgcn_conv_loop(x, p):
+    def rgcn_conv_loop(x, p, ed):
         w = materialize_weight(p)
         out = x @ p.root + p.bias
-        src_j = jnp.asarray(edges.src)
-        dst_j = jnp.asarray(edges.dst)
-        norm_j = jnp.asarray(edges.norm)
+        src_j, dst_j, norm_j = ed.src, ed.dst, ed.norm
         # R separate masked passes over the full edge list (PyG RGCNConv's
         # structure). Unrolled: each pass is gather -> mask -> segment_sum
         # -> dense matmul.
@@ -134,10 +136,10 @@ def main() -> None:
             out = out + agg @ w[rel]
         return out
 
-    def apply_baseline(p):
-        x = rgcn_conv_loop(p.embedding, p.rgcn1)
+    def apply_baseline(p, ed):
+        x = rgcn_conv_loop(p.embedding, p.rgcn1, ed)
         x = jax.nn.relu(x)
-        return rgcn_conv_loop(x, p.rgcn2)
+        return rgcn_conv_loop(x, p.rgcn2, ed)
 
     if os.environ.get("BENCH_SKIP_BASELINE"):
         t_base = float(os.environ.get("BENCH_BASELINE_MS", 0)) / 1e3 or t_opt

@@ -313,9 +313,14 @@ def _aggregate_fwd_impl(x, w, edges: RelEdges, mode, backend):
     n = edges.num_nodes
     d_out = w.shape[2]
     if mode == "prematmul":
-        z = jnp.einsum("nd,rdh->rnh", x, w,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
-        msg = jnp.take(z.reshape(-1, d_out), edges.rel * n + edges.src, axis=0)
+        slots = w.shape[0]
+        # ONE flat matmul: [N, d] @ [d, slots*h] -> [N*slots, h] in src-major
+        # layout, so the gather key is src*slots + rel (and the backward's
+        # (src, rel)-sorted cotangent reduction writes the same layout)
+        w_flat = jnp.swapaxes(w, 0, 1).reshape(w.shape[1], slots * d_out)
+        z = jnp.dot(x, w_flat, preferred_element_type=jnp.float32
+                    ).astype(x.dtype).reshape(n * slots, d_out)
+        msg = jnp.take(z, edges.src * slots + edges.rel, axis=0)
     else:
         msg = jnp.take(x, edges.src, axis=0)
         msg = grouped_matmul(msg, w, edges.group_sizes, backend=backend)
@@ -359,11 +364,14 @@ def _aggregate_bwd(mode, backend, res, g_out):
         # [N, slots, h] cotangent, then dense MXU contractions
         gp = jnp.take(g_msg, edges.bwd_perm, axis=0)
         dz = sorted_segment_sum_pallas(gp, edges.bwd_keys, edges.bwd_plan)
-        dz = dz.reshape(n, slots, d_out)
-        dx = jnp.einsum("nrh,rdh->nd", dz, w,
-                        preferred_element_type=jnp.float32).astype(x.dtype)
-        dw = jnp.einsum("nd,nrh->rdh", x, dz,
-                        preferred_element_type=jnp.float32).astype(w.dtype)
+        # dz is [N*slots, h] in src-major layout -> flat matmuls
+        dz2 = dz.reshape(n, slots * d_out)
+        w_flat = jnp.swapaxes(w, 0, 1).reshape(d_in, slots * d_out)
+        dx = jnp.dot(dz2, w_flat.T, preferred_element_type=jnp.float32
+                     ).astype(x.dtype)
+        dw = jnp.swapaxes(
+            jnp.dot(x.T, dz2, preferred_element_type=jnp.float32
+                    ).reshape(d_in, slots, d_out), 0, 1).astype(w.dtype)
     else:
         # large-N path: per-edge transform back to d_in, then a write-once
         # src-sorted reduction into [N, d_in]
