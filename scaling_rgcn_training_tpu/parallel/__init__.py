@@ -16,9 +16,22 @@ from scaling_rgcn_training_tpu.parallel.spmd import (
     sharded_rgcn_conv,
     device_put_sharded_edges,
 )
+from scaling_rgcn_training_tpu.parallel.halo import (
+    HaloShardedEdges,
+    halo_partition_edges,
+    halo_rgcn_conv,
+    halo_aggregate,
+    device_put_halo_edges,
+    pad_node_array,
+    padded_num_nodes,
+    node_sharding,
+)
 
 __all__ = [
     "make_mesh", "use_mesh", "current_mesh",
     "ShardedRelEdges", "shard_rel_edges", "sharded_rgcn_conv",
     "device_put_sharded_edges",
+    "HaloShardedEdges", "halo_partition_edges", "halo_rgcn_conv",
+    "halo_aggregate", "device_put_halo_edges", "pad_node_array",
+    "padded_num_nodes", "node_sharding",
 ]

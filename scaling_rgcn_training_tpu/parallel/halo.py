@@ -1,0 +1,244 @@
+"""Node-partitioned R-GCN aggregation with halo exchange (all_to_all).
+
+The edge-partition path (parallel/spmd.py) replicates features and
+all-reduces full [N, h] partials — O(N) ICI traffic per layer regardless
+of how sparse the cut is. This module is the scalable refinement promised
+there (SURVEY.md §7 step 6): partition NODES into contiguous ranges, give
+each device the edges whose destination it owns, and exchange only the
+boundary ("halo") source features a device actually reads, via one
+``lax.all_to_all`` over the ICI mesh axis. Per-device traffic is then
+O(E/S + halo) instead of O(N), and both activations and outputs stay
+node-sharded end to end — no replicated [N, h] tensor ever materializes.
+
+Layout (host-side, static per graph — built once by
+:func:`halo_partition_edges`):
+
+- nodes padded to ``S * n_per``; device ``s`` owns rows
+  ``[s*n_per, (s+1)*n_per)``;
+- each edge lives on the owner of its ``dst``; per-shard edge lists are
+  (relation, dst)-sorted and padded to a common static length, so the
+  grouped matmul sees relation-contiguous rows exactly like the
+  single-chip layout (ops/rgcn_conv.py);
+- for every (reader s, owner p) pair the sorted unique remote sources
+  are precomputed: ``send_idx[p, s]`` are owner-local rows p must ship
+  to s, and readers address the received rows through a *local* source
+  index ``lsrc`` into ``[x_own ; halo]`` — so at runtime the exchange is
+  one gather + one all_to_all, with zero index arithmetic on device.
+
+The per-(relation, dst) mean normalization is computed globally before
+partitioning (dst-ownership keeps every (rel, dst) group on one shard, so
+the coefficients are exact). shard_map makes the whole thing transparently
+differentiable: the all_to_all transposes to an all_to_all of cotangents,
+and every scatter in the backward targets local-sized tables.
+
+Reference parity: the math is still PyG ``RGCNConv`` semantics
+(model/layers.py:15-23) — only the dataflow is distributed.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scaling_rgcn_training_tpu.ops.grouped_matmul import grouped_matmul
+from scaling_rgcn_training_tpu.parallel.mesh import EDGE_AXIS
+
+
+class HaloShardedEdges(NamedTuple):
+    """Static per-graph plan for node-partitioned execution.
+
+    Leading axis of every array is the shard axis ``S``. ``lsrc`` indexes
+    the per-device combined table ``[x_own (n_per rows) ; halo (S*H
+    rows)]``; ``ldst`` is the owner-local destination row. Padding edge
+    rows carry ``norm = 0`` and live in the final relation slot.
+    """
+
+    lsrc: jnp.ndarray          # int32 [S, E_shard]
+    ldst: jnp.ndarray          # int32 [S, E_shard]
+    norm: jnp.ndarray          # float32 [S, E_shard]
+    group_sizes: jnp.ndarray   # int32 [S, num_slots]
+    send_idx: jnp.ndarray      # int32 [S, S, H] owner-local rows to ship
+    num_nodes: int             # true N (pre-padding)
+    n_per: int                 # owned rows per device
+    halo: int                  # H: max remote rows any (reader, owner) pair ships
+    num_shards: int
+
+
+jax.tree_util.register_pytree_node(
+    HaloShardedEdges,
+    lambda e: ((e.lsrc, e.ldst, e.norm, e.group_sizes, e.send_idx),
+               (e.num_nodes, e.n_per, e.halo, e.num_shards)),
+    lambda aux, ch: HaloShardedEdges(*ch, num_nodes=aux[0], n_per=aux[1],
+                                     halo=aux[2], num_shards=aux[3]),
+)
+
+
+def halo_partition_edges(
+    edge_src: np.ndarray,
+    edge_dst: np.ndarray,
+    edge_type: np.ndarray,
+    num_nodes: int,
+    num_slots: int,
+    num_shards: int,
+    pad_to_multiple: int = 512,
+    halo_multiple: int = 8,
+) -> HaloShardedEdges:
+    """Host-side, once per graph: dst-owner partition + halo exchange plan."""
+    edge_src = np.asarray(edge_src, np.int32)
+    edge_dst = np.asarray(edge_dst, np.int32)
+    edge_type = np.asarray(edge_type, np.int32)
+    s_n = num_shards
+    n_per = -(-num_nodes // s_n)
+
+    # global per-(rel, dst) mean coefficients (exact: dst-ownership keeps
+    # each group on one shard)
+    keys = edge_type.astype(np.int64) * num_nodes + edge_dst.astype(np.int64)
+    _, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
+    norm_all = (1.0 / counts[inv]).astype(np.float32)
+
+    owner = edge_dst // n_per
+    # per-(reader, owner-of-src) unique remote sources
+    need = [[None] * s_n for _ in range(s_n)]
+    shard_edges = []
+    for s in range(s_n):
+        m = owner == s
+        src_s, dst_s, typ_s, norm_s = (edge_src[m], edge_dst[m],
+                                       edge_type[m], norm_all[m])
+        order = np.lexsort((dst_s, typ_s))
+        src_s, dst_s, typ_s, norm_s = (src_s[order], dst_s[order],
+                                       typ_s[order], norm_s[order])
+        shard_edges.append((src_s, dst_s, typ_s, norm_s))
+        src_owner = src_s // n_per
+        for p in range(s_n):
+            remote = np.unique(src_s[src_owner == p]) if p != s else \
+                np.empty(0, np.int64)
+            need[s][p] = remote
+
+    h = max((len(need[s][p]) for s in range(s_n) for p in range(s_n)),
+            default=0)
+    h = max(halo_multiple, -(-h // halo_multiple) * halo_multiple)
+
+    e_shard = max(len(se[0]) for se in shard_edges)
+    e_shard = max(pad_to_multiple,
+                  -(-e_shard // pad_to_multiple) * pad_to_multiple)
+
+    lsrc = np.zeros((s_n, e_shard), np.int32)
+    ldst = np.zeros((s_n, e_shard), np.int32)
+    norm = np.zeros((s_n, e_shard), np.float32)
+    gs = np.zeros((s_n, num_slots), np.int32)
+    send_idx = np.zeros((s_n, s_n, h), np.int32)
+
+    for s in range(s_n):
+        src_s, dst_s, typ_s, norm_s = shard_edges[s]
+        ne = len(src_s)
+        # local index space: [own rows (n_per) ; halo rows (S*H)]
+        loc = np.empty(ne, np.int64)
+        src_owner = src_s // n_per
+        own = src_owner == s
+        loc[own] = src_s[own] - s * n_per
+        for p in range(s_n):
+            if p == s:
+                continue
+            ids = need[s][p]                     # sorted unique remote srcs
+            send_idx[p, s, :len(ids)] = ids - p * n_per
+            sel = src_owner == p
+            if sel.any():
+                pos = np.searchsorted(ids, src_s[sel])
+                loc[sel] = n_per + p * h + pos
+        lsrc[s, :ne] = loc
+        ldst[s, :ne] = dst_s - s * n_per
+        norm[s, :ne] = norm_s
+        gs[s] = np.bincount(typ_s, minlength=num_slots)
+        gs[s, num_slots - 1] += e_shard - ne     # padding rows -> empty slot
+
+    return HaloShardedEdges(
+        lsrc=jnp.asarray(lsrc), ldst=jnp.asarray(ldst), norm=jnp.asarray(norm),
+        group_sizes=jnp.asarray(gs), send_idx=jnp.asarray(send_idx),
+        num_nodes=int(num_nodes), n_per=int(n_per), halo=int(h),
+        num_shards=int(s_n))
+
+
+def padded_num_nodes(edges: HaloShardedEdges) -> int:
+    return edges.n_per * edges.num_shards
+
+
+def pad_node_array(x: jnp.ndarray, edges: HaloShardedEdges) -> jnp.ndarray:
+    """Pad the leading (node) axis to ``S * n_per`` phantom rows."""
+    extra = padded_num_nodes(edges) - x.shape[0]
+    if extra <= 0:
+        return x
+    return jnp.pad(x, ((0, extra),) + ((0, 0),) * (x.ndim - 1))
+
+
+def device_put_halo_edges(edges: HaloShardedEdges, mesh: Mesh) -> HaloShardedEdges:
+    """Pin each shard's plan rows onto its device (leading axis sharded)."""
+    def put(a):
+        return jax.device_put(
+            a, NamedSharding(mesh, P(EDGE_AXIS, *([None] * (a.ndim - 1)))))
+
+    return HaloShardedEdges(
+        lsrc=put(edges.lsrc), ldst=put(edges.ldst), norm=put(edges.norm),
+        group_sizes=put(edges.group_sizes), send_idx=put(edges.send_idx),
+        num_nodes=edges.num_nodes, n_per=edges.n_per, halo=edges.halo,
+        num_shards=edges.num_shards)
+
+
+def node_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for node-major arrays ([N_pad, ...], leading axis on ICI)."""
+    return NamedSharding(mesh, P(EDGE_AXIS))
+
+
+def halo_aggregate(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    edges: HaloShardedEdges,
+    mesh: Mesh,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Node-sharded ``sum_e norm_e * (x[src_e] @ W[rel_e]) -> dst``.
+
+    ``x``: [S*n_per, d] node-sharded over the mesh; returns [S*n_per, h]
+    with the same sharding. One all_to_all ships halo rows; everything
+    else is device-local.
+    """
+    n_per = edges.n_per
+
+    def body(x_own, lsrc, ldst, norm, gs, send_idx, w_rep):
+        # x_own [n_per, d]; plan rows arrive with a leading length-1 shard axis
+        send = jnp.take(x_own, send_idx[0].reshape(-1), axis=0)      # [S*H, d]
+        send = send.reshape(edges.num_shards, edges.halo, -1)
+        halo = jax.lax.all_to_all(send, EDGE_AXIS, split_axis=0,
+                                  concat_axis=0, tiled=False)
+        combined = jnp.concatenate(
+            [x_own, halo.reshape(edges.num_shards * edges.halo, -1)], axis=0)
+        msg = jnp.take(combined, lsrc[0], axis=0)
+        msg = grouped_matmul(msg, w_rep, gs[0], backend=backend)
+        msg = msg * norm[0][:, None]
+        return jax.ops.segment_sum(msg, ldst[0], num_segments=n_per)
+
+    shard = P(EDGE_AXIS)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(shard, shard, shard, shard, shard, shard, P()),
+        out_specs=shard,
+        check_vma=False,
+    )(x, edges.lsrc, edges.ldst, edges.norm, edges.group_sizes,
+      edges.send_idx, w)
+
+
+def halo_rgcn_conv(x, edges: HaloShardedEdges, params, mesh: Mesh,
+                   backend: Optional[str] = None) -> jnp.ndarray:
+    """Node-sharded R-GCN layer: [S*n_per, in] -> [S*n_per, out].
+
+    Same math as ops.rgcn_conv.rgcn_conv (PyG RGCNConv semantics,
+    SURVEY.md L0); the root/bias term is embarrassingly node-local.
+    """
+    from scaling_rgcn_training_tpu.ops.rgcn_conv import materialize_weight
+
+    w = materialize_weight(params)
+    agg = halo_aggregate(x, w, edges, mesh, backend=backend)
+    return agg + x @ params.root + params.bias
