@@ -52,6 +52,7 @@ def main() -> None:
     c = 8
     steps = int(os.environ.get("BENCH_STEPS", 10))
     backend = os.environ.get("BENCH_BACKEND", "ragged")
+    compute_dtype = os.environ.get("BENCH_COMPUTE_DTYPE") or None
     num_layers = 2
 
     log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
@@ -110,7 +111,8 @@ def main() -> None:
         return (time.perf_counter() - t0) / (n_calls * inner), float(loss)
 
     # --- TPU-native path ---------------------------------------------------
-    step_opt = make_step(lambda p, ed: apply_emb_model(p, ed, backend=backend))
+    step_opt = make_step(lambda p, ed: apply_emb_model(
+        p, ed, backend=backend, compute_dtype=compute_dtype))
     t_opt, loss_opt = time_steps(step_opt, params, opt_state, steps)
     edges_per_s = e * num_layers / t_opt
     log(f"optimized: {t_opt*1e3:.2f} ms/step  {edges_per_s/1e6:.1f} M edge-traversals/s  loss={loss_opt:.4f}")

@@ -85,7 +85,8 @@ def run_experiments(configs: Dict[str, Any], org_path: str, sum_path: str,
             data, configs["hl"], configs["epochs"], configs["emb"], configs["lr"],
             weight_d=0.00005, seed=configs.get("seed", 0) * 1000 + j,
             backend=configs.get("backend"),
-            num_bases=configs.get("num_bases"), num_blocks=configs.get("num_blocks"))
+            num_bases=configs.get("num_bases"), num_blocks=configs.get("num_blocks"),
+            compute_dtype=configs.get("compute_dtype"))
         if needs_summaries:
             trainer.train_summaries(configs)
         for exp in experiment_names:
@@ -143,6 +144,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-seed", type=int, default=0)
     parser.add_argument("-backend", type=str, default=None,
                         choices=["ragged", "gather", "pallas"])
+    parser.add_argument("-compute_dtype", type=str, default=None,
+                        choices=["bfloat16"],
+                        help="mixed precision for the conv's edge streams")
     parser.add_argument("-num_bases", type=int, default=None)
     parser.add_argument("-num_blocks", type=int, default=None)
     parser.add_argument("-synth_entities", type=int, default=2000)

@@ -21,6 +21,7 @@ from scaling_rgcn_training_tpu.ops.rgcn_conv import (
     init_rgcn_layer,
     materialize_weight,
 )
+from scaling_rgcn_training_tpu.ops.sddmm import sddmm, sddmm_rel, segment_softmax
 
 __all__ = [
     "grouped_matmul",
@@ -30,4 +31,7 @@ __all__ = [
     "rgcn_conv",
     "init_rgcn_layer",
     "materialize_weight",
+    "sddmm",
+    "sddmm_rel",
+    "segment_softmax",
 ]

@@ -136,11 +136,15 @@ def _drhs(lhs: jnp.ndarray, gout: jnp.ndarray, group_sizes: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((g, k, n), lambda i, offs: (0, 0, 0)),
     )
+    # low-precision inputs accumulate into an f32 output (the per-tile MXU
+    # dot already prefers f32; this keeps the cross-tile += exact too)
+    out_dtype = (jnp.float32 if lhs.dtype in (jnp.bfloat16, jnp.float16)
+                 else lhs.dtype)
     return pl.pallas_call(
         functools.partial(_drhs_kernel, tm=tm, num_groups=g),
-        out_shape=jax.ShapeDtypeStruct((g, k, n), lhs.dtype),
+        out_shape=jax.ShapeDtypeStruct((g, k, n), out_dtype),
         grid_spec=grid_spec,
-    )(offs, lhs, gout)
+    )(offs, lhs, gout.astype(lhs.dtype))
 
 
 # -- public op with custom VJP ----------------------------------------------
@@ -157,8 +161,8 @@ def _gmm_fwd(lhs, rhs, group_sizes):
 
 def _gmm_bwd(res, g):
     lhs, rhs, group_sizes = res
-    d_lhs = _fwd(g, jnp.swapaxes(rhs, 1, 2), group_sizes)
-    d_rhs = _drhs(lhs, g, group_sizes, rhs.shape)
+    d_lhs = _fwd(g.astype(lhs.dtype), jnp.swapaxes(rhs, 1, 2), group_sizes)
+    d_rhs = _drhs(lhs, g, group_sizes, rhs.shape).astype(rhs.dtype)
     return d_lhs, d_rhs, None
 
 

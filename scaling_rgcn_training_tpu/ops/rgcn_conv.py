@@ -309,9 +309,15 @@ def relational_aggregate(x, w, edges: RelEdges, mode: str = "edge",
     return _aggregate_fwd_impl(x, w, edges, mode, backend)
 
 
+def _acc_dtype(dtype):
+    """Aggregation accumulates (and returns) f32 for low-precision inputs."""
+    return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+
+
 def _aggregate_fwd_impl(x, w, edges: RelEdges, mode, backend):
     n = edges.num_nodes
     d_out = w.shape[2]
+    acc = _acc_dtype(x.dtype)
     if mode == "prematmul":
         slots = w.shape[0]
         # ONE flat matmul: [N, d] @ [d, slots*h] -> [N*slots, h] in src-major
@@ -324,12 +330,14 @@ def _aggregate_fwd_impl(x, w, edges: RelEdges, mode, backend):
     else:
         msg = jnp.take(x, edges.src, axis=0)
         msg = grouped_matmul(msg, w, edges.group_sizes, backend=backend)
-    msg = msg * edges.norm[:, None]
+    # the norm scale promotes low-precision msg to f32: the d_out-narrow
+    # scatter side always accumulates (and returns) f32
+    msg = msg * edges.norm[:, None].astype(acc)
     if edges.dst_plan is not None and jax.default_backend() == "tpu":
         msg = jnp.take(msg, edges.dst_perm, axis=0)
         return sorted_segment_sum_pallas(msg, edges.dst_sorted, edges.dst_plan
-                                         ).astype(x.dtype)
-    return jax.ops.segment_sum(msg, edges.dst, num_segments=n)
+                                         ).astype(acc)
+    return jax.ops.segment_sum(msg, edges.dst, num_segments=n).astype(acc)
 
 
 def _aggregate_fwd(x, w, edges, mode, backend):
@@ -345,7 +353,7 @@ def _aggregate_bwd(mode, backend, res, g_out):
 
     if not on_tpu:
         # CPU/GPU: XLA scatter has no VMEM cliff; plain formulation
-        dmsg = grouped_matmul(g_msg, jnp.swapaxes(w, 1, 2),
+        dmsg = grouped_matmul(g_msg.astype(w.dtype), jnp.swapaxes(w, 1, 2),
                               edges.group_sizes, backend=backend)   # [E, d_in]
         dx = jax.ops.segment_sum(dmsg, edges.src, num_segments=n).astype(x.dtype)
         xs = jnp.take(x, edges.src, axis=0)
@@ -374,8 +382,10 @@ def _aggregate_bwd(mode, backend, res, g_out):
                     ).reshape(d_in, slots, d_out), 0, 1).astype(w.dtype)
     else:
         # large-N path: per-edge transform back to d_in, then a write-once
-        # src-sorted reduction into [N, d_in]
-        dmsg = grouped_matmul(g_msg, jnp.swapaxes(w, 1, 2),
+        # src-sorted reduction into [N, d_in]. In mixed precision the
+        # d_in-wide intermediates stay low-precision (half the HBM traffic
+        # of the two big streams: the permutation gather and x[src]).
+        dmsg = grouped_matmul(g_msg.astype(w.dtype), jnp.swapaxes(w, 1, 2),
                               edges.group_sizes, backend=backend)   # [E, d_in]
         dmsg_sorted = jnp.take(dmsg, edges.bwd_perm, axis=0)
         dx = sorted_segment_sum_pallas(dmsg_sorted, edges.bwd_src,
@@ -398,12 +408,19 @@ def rgcn_conv(
     params: RGCNLayerParams,
     backend: str | None = None,
     mode: str = "auto",
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Apply one R-GCN layer: ``[N, in] -> [N, out]``.
 
     Jit-safe: everything static-shaped. Padding rows are killed by
     ``norm == 0``, so the extra rows in the final (empty) relation slot
     never contribute.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``): mixed precision — the wide
+    per-edge streams (source-feature gathers, grouped matmuls, permutation
+    gathers) run in the low dtype, halving the dominant HBM traffic, while
+    every reduction (segment sums, MXU accumulation, dw) and the output
+    stay float32. Params are stored f32 throughout.
 
     Dispatch: when ``edges`` is a ``parallel.ShardedRelEdges`` (edge lists
     partitioned over a device mesh), the SPMD path runs instead — models
@@ -428,5 +445,12 @@ def rgcn_conv(
     if mode == "auto":
         mode = _edge_traffic_mode(edges.num_nodes, w.shape[0],
                                   edges.src.shape[0], w.shape[1], w.shape[2])
-    agg = relational_aggregate(x, w, edges, mode, backend)
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        agg = relational_aggregate(x.astype(cd), w.astype(cd), edges, mode,
+                                   backend)
+    else:
+        agg = relational_aggregate(x, w, edges, mode, backend)
+    # root/bias term stays f32: it is node-sized (cheap) and carries the
+    # residual path's precision
     return agg + x @ params.root + params.bias

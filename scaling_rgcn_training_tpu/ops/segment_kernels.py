@@ -93,8 +93,15 @@ def _seg_kernel(offs_ref, keys_ref, vals_ref, out_ref, *,
 
 def sorted_segment_sum_pallas(vals: jnp.ndarray, keys: jnp.ndarray,
                               plan: SegmentPlan) -> jnp.ndarray:
-    """segment_sum(vals, keys, M) for sorted keys. vals [E, h] -> [M, h]."""
+    """segment_sum(vals, keys, M) for sorted keys. vals [E, h] -> [M, h].
+
+    Low-precision inputs (bf16/f16) accumulate in float32 — the output is
+    then float32 (the MXU dot already accumulates f32; this keeps the
+    VMEM-resident tile f32 too).
+    """
     e, h = vals.shape
+    out_dtype = (jnp.float32 if vals.dtype in (jnp.bfloat16, jnp.float16)
+                 else vals.dtype)
     s, chunk = plan.bucket_rows, plan.chunk
     m_pad = -(-plan.num_segments // s) * s
     num_buckets = m_pad // s
@@ -119,7 +126,7 @@ def sorted_segment_sum_pallas(vals: jnp.ndarray, keys: jnp.ndarray,
     )
     out = pl.pallas_call(
         functools.partial(_seg_kernel, s=s, chunk=chunk, h=h),
-        out_shape=jax.ShapeDtypeStruct((m_pad, h), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((m_pad, h), out_dtype),
         grid_spec=grid_spec,
     )(plan.offsets, keys2d, vals)
     return out[:plan.num_segments]

@@ -42,7 +42,7 @@ def _hashable_mask(mask):
 
 @functools.lru_cache(maxsize=64)
 def _cached_fit_fn(apply_fn, loss_fn, activation, sum_graph, epochs,
-                   lr, weight_d, mask_key, backend):
+                   lr, weight_d, mask_key, backend, compute_dtype=None):
     """One jitted whole-training scan per static configuration.
 
     The reference re-instantiates everything per iteration (main.py:49-52),
@@ -58,7 +58,8 @@ def _cached_fit_fn(apply_fn, loss_fn, activation, sum_graph, epochs,
         params, opt_state, rng = carry
         if not sum_graph:
             # validation eval BEFORE the update (modelTrainer.py:53-59)
-            logits = apply_fn(params, graph.edges, train=False, backend=backend)
+            logits = apply_fn(params, graph.edges, train=False, backend=backend,
+                              compute_dtype=compute_dtype)
             acc, f1_w, f1_m = evaluate(logits, graph.x_val, graph.y_val, activation)
         else:
             acc = f1_w = f1_m = jnp.float32(0)
@@ -66,7 +67,8 @@ def _cached_fit_fn(apply_fn, loss_fn, activation, sum_graph, epochs,
         rng, sub = jax.random.split(rng)
 
         def loss_of(p):
-            logits = apply_fn(p, graph.edges, train=True, rng=sub, backend=backend)
+            logits = apply_fn(p, graph.edges, train=True, rng=sub, backend=backend,
+                              compute_dtype=compute_dtype)
             return loss_fn(logits[graph.x_train], graph.y_train)
 
         loss, grads = jax.value_and_grad(loss_of)(params)
@@ -90,7 +92,8 @@ class Trainer:
     def __init__(self, data: Dataset, hidden_l: int, epochs: int, emb_dim: int,
                  lr: float, weight_d: float, seed: int = 0,
                  backend: Optional[str] = None, num_bases: Optional[int] = None,
-                 num_blocks: Optional[int] = None) -> None:
+                 num_blocks: Optional[int] = None,
+                 compute_dtype: Optional[str] = None) -> None:
         self.data = data
         self.hidden_l = hidden_l
         self.epochs = epochs
@@ -100,6 +103,8 @@ class Trainer:
         self.backend = backend
         self.num_bases = num_bases
         self.num_blocks = num_blocks
+        # mixed precision for the conv's edge streams ("bfloat16" | None)
+        self.compute_dtype = compute_dtype
         self.rng = jax.random.key(seed)
         self.sum_params = None          # trained summary model (EmbModelParams)
         self._device_graphs: Dict[int, DeviceGraph] = {}
@@ -131,7 +136,8 @@ class Trainer:
         rng0 = self._next_rng()
         run = _cached_fit_fn(
             apply_fn, loss_fn, activation, sum_graph, self.epochs,
-            self.lr, self.weight_d, _hashable_mask(mask), self.backend)
+            self.lr, self.weight_d, _hashable_mask(mask), self.backend,
+            self.compute_dtype)
         (params, _, _), (losses, accs, f1_ws, f1_ms) = run(
             params, opt_state, rng0, graph)
         losses = [float(v) for v in np.asarray(losses)]
@@ -237,7 +243,8 @@ class Trainer:
 
     def evaluate_test(self, params, apply_fn, graph: DeviceGraph,
                       activation: str, report: bool = False) -> Tuple[float, float, float]:
-        logits = apply_fn(params, graph.edges, train=False, backend=self.backend)
+        logits = apply_fn(params, graph.edges, train=False, backend=self.backend,
+                          compute_dtype=self.compute_dtype)
         acc, f1_w, f1_m = evaluate(logits, graph.x_test, graph.y_test, activation)
         if report:
             from sklearn.metrics import classification_report
