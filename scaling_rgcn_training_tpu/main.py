@@ -88,7 +88,16 @@ def run_experiments(configs: Dict[str, Any], org_path: str, sum_path: str,
             num_bases=configs.get("num_bases"), num_blocks=configs.get("num_blocks"),
             compute_dtype=configs.get("compute_dtype"))
         if needs_summaries:
-            trainer.train_summaries(configs)
+            ckpt = configs.get("ckpt_dir")
+            if ckpt:
+                path = os.path.join(ckpt, f"transfer_{configs['dataset']}_{j}.npz")
+                if os.path.exists(path):
+                    timing.log(f"Resuming summary pre-training from {path}")
+                    trainer.load_summaries(path)
+                else:
+                    trainer.train_summaries(configs, save_path=path)
+            else:
+                trainer.train_summaries(configs)
         for exp in experiment_names:
             results.add_key(exp)
             timing.log(f"Start {exp} Experiment")
@@ -140,6 +149,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-create_attr_sum", type=strtobool, default=False)
     # TPU-framework extras
     parser.add_argument("-data_root", type=str, default=None)
+    parser.add_argument("-ckpt_dir", type=str, default=None,
+                        help="save/resume summary pre-training state here")
     parser.add_argument("-results_root", type=str, default="./results")
     parser.add_argument("-seed", type=int, default=0)
     parser.add_argument("-backend", type=str, default=None,

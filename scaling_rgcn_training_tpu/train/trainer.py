@@ -160,7 +160,8 @@ class Trainer:
 
     # -- summary pre-training (modelTrainer.py:76-82) ----------------------
 
-    def train_summaries(self, configs: Dict[str, Any], verbose: bool = True) -> None:
+    def train_summaries(self, configs: Dict[str, Any], verbose: bool = True,
+                        save_path: Optional[str] = None) -> None:
         loss_fn, activation = get_loss(configs["dataset"], sum_model=True)
         sg0 = self.data.sumGraphs[0]
         params = model_heads.init_emb_model(
@@ -178,6 +179,41 @@ class Trainer:
                 loss_fn, activation, sum_graph=True, verbose=verbose)
             sg.embedding = np.asarray(params.embedding)
         self.sum_params = params
+        if save_path:
+            from scaling_rgcn_training_tpu.utils.checkpoint import save_transfer_state
+
+            save_transfer_state(
+                save_path, (params.rgcn1, params.rgcn2),
+                [sg.embedding for sg in self.data.sumGraphs])
+
+    def load_summaries(self, path: str) -> None:
+        """Resume the transfer stage from a ``save_transfer_state`` file:
+        the on-disk equivalent of the reference's in-memory clones
+        (modelTrainer.py:28-35,82); ``train_original`` can then run without
+        re-pretraining."""
+        from scaling_rgcn_training_tpu.utils.checkpoint import load_transfer_state
+        from scaling_rgcn_training_tpu.ops import init_rgcn_layer
+
+        template = (
+            init_rgcn_layer(jax.random.key(0), self.data.orgGraph.num_relation_slots,
+                            self.emb_dim, self.hidden_l,
+                            num_bases=self.num_bases, num_blocks=self.num_blocks),
+            init_rgcn_layer(jax.random.key(0), self.data.orgGraph.num_relation_slots,
+                            self.hidden_l, self.data.num_classes,
+                            num_bases=self.num_bases, num_blocks=self.num_blocks),
+        )
+        (rgcn1, rgcn2), embs = load_transfer_state(path, template)
+        assert len(embs) == len(self.data.sumGraphs), (
+            f"checkpoint has {len(embs)} summary embeddings, dataset has "
+            f"{len(self.data.sumGraphs)} summary graphs")
+        for sg, emb in zip(self.data.sumGraphs, embs):
+            sg.embedding = np.asarray(emb)
+        sg0 = self.data.sumGraphs[0]
+        self.sum_params = model_heads.init_emb_model(
+            jax.random.key(0), sg0.num_relation_slots, self.hidden_l,
+            self.data.num_classes, sg0.num_nodes, self.emb_dim,
+            num_bases=self.num_bases, num_blocks=self.num_blocks
+        )._replace(rgcn1=rgcn1, rgcn2=rgcn2)
 
     # -- weight transfer (modelTrainer.py:26-39) ---------------------------
 

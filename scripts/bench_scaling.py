@@ -1,0 +1,107 @@
+"""Scaling-efficiency benchmark: edges/s vs device count (halo SPMD path).
+
+North-star methodology (BASELINE.md): per-chip edge throughput of the
+fwd+bwd train step should scale to >=80% efficiency as devices grow. On a
+multi-chip TPU slice this measures the real ICI halo exchange; on a
+single-host CPU run it exercises the identical program over virtual
+devices (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8),
+which validates the collective structure but NOT hardware scaling — the
+report labels which one it measured.
+
+Prints one JSON line per device count:
+    {"devices": k, "ms_per_step": t, "edges_per_s": v, "efficiency": r}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scaling_rgcn_training_tpu.utils import jaxcache
+
+jaxcache.enable()
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from scaling_rgcn_training_tpu.ops import init_rgcn_layer
+from scaling_rgcn_training_tpu.parallel import (
+    make_mesh, halo_partition_edges, device_put_halo_edges, halo_rgcn_conv,
+    padded_num_nodes, node_sharding)
+from scaling_rgcn_training_tpu.train.losses import bce_loss
+
+n = int(os.environ.get("BENCH_NODES", 100_000))
+e = int(os.environ.get("BENCH_EDGES", 2_000_000))
+r = int(os.environ.get("BENCH_RELS", 20))
+d = int(os.environ.get("BENCH_DIM", 64))
+hl = int(os.environ.get("BENCH_HIDDEN", 16))
+c = 8
+inner = int(os.environ.get("BENCH_INNER", 5))
+calls = int(os.environ.get("BENCH_CALLS", 3))
+
+rng = np.random.default_rng(0)
+src = rng.integers(0, n, e).astype(np.int32)
+dst = rng.integers(0, n, e).astype(np.int32)
+typ = rng.integers(0, 2 * r, e).astype(np.int32)
+slots = 2 * r + 1
+
+avail = len(jax.devices())
+counts = [k for k in (1, 2, 4, 8, 16, 32) if k <= avail]
+print(f"backend={jax.default_backend()} devices={avail} -> {counts}",
+      file=sys.stderr, flush=True)
+
+base_eps = None
+for k in counts:
+    mesh = make_mesh(k)
+    hedges = device_put_halo_edges(
+        halo_partition_edges(src, dst, typ, n, slots, k, pad_to_multiple=512),
+        mesh)
+    n_pad = padded_num_nodes(hedges)
+    emb = jax.device_put(jax.random.normal(jax.random.key(0), (n_pad, d)),
+                         node_sharding(mesh))
+    l1 = init_rgcn_layer(jax.random.key(1), slots, d, hl)
+    l2 = init_rgcn_layer(jax.random.key(2), slots, hl, c)
+    opt = optax.adam(0.01)
+    params = (emb, l1, l2)
+    state = opt.init(params)
+    y = jax.nn.one_hot(np.arange(1024) % c, c)
+    idx = jnp.arange(1024)
+
+    def one_step(ps, st):
+        def loss_of(p):
+            e_, a_, b_ = p
+            z = jax.nn.relu(halo_rgcn_conv(e_, hedges, a_, mesh))
+            logits = halo_rgcn_conv(z, hedges, b_, mesh)
+            return bce_loss(logits[idx], y)
+
+        loss, grads = jax.value_and_grad(loss_of)(ps)
+        updates, st2 = opt.update(grads, st)
+        return optax.apply_updates(ps, updates), st2, loss
+
+    @jax.jit
+    def run(ps, st):
+        (ps, st), losses = jax.lax.scan(
+            lambda cc, _: ((lambda a, b, l: ((a, b), l))(*one_step(*cc))),
+            (ps, st), None, length=inner)
+        return ps, st, losses[-1]
+
+    params, state, loss = run(params, state)
+    jax.block_until_ready(params)
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        params, state, loss = run(params, state)
+    jax.block_until_ready(params)
+    dt = (time.perf_counter() - t0) / (calls * inner)
+    eps = e * 2 / dt  # 2 layers
+    if base_eps is None:
+        base_eps = eps
+    eff = eps / (base_eps * k)
+    print(json.dumps({
+        "devices": k, "ms_per_step": round(dt * 1e3, 2),
+        "edges_per_s": round(eps, 1), "efficiency": round(eff, 3),
+        "hardware": jax.default_backend(),
+    }), flush=True)

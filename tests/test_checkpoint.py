@@ -77,3 +77,35 @@ def test_transfer_state_roundtrip(tmp_path):
         np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(
         np.asarray(params.rgcn1.weight), np.asarray(trunk.rgcn1.weight))
+
+
+def test_trainer_summary_checkpoint_roundtrip(tmp_path, ref_graphs_dir):
+    """train_summaries(save_path=...) -> load_summaries resumes the
+    transfer stage: same trunk weights and per-summary embeddings."""
+    import numpy as np
+    from scaling_rgcn_training_tpu.graphs.dataset import Dataset
+    from scaling_rgcn_training_tpu.train.trainer import Trainer
+
+    data = Dataset(f"{ref_graphs_dir}/TEST/TEST_complete.nt",
+                   f"{ref_graphs_dir}/TEST/attr/sum",
+                   f"{ref_graphs_dir}/TEST/attr/map").init_dataset()
+    configs = {"dataset": "TEST", "num_sums": 3, "e_trans": True,
+               "e_freeze": True, "w_trans": True, "w_grad": True}
+    path = str(tmp_path / "transfer.npz")
+    t1 = Trainer(data, hidden_l=4, epochs=2, emb_dim=6, lr=0.01,
+                 weight_d=5e-5, seed=0, backend="gather")
+    t1.train_summaries(configs, verbose=False, save_path=path)
+    want_embs = [sg.embedding.copy() for sg in data.sumGraphs]
+
+    for sg in data.sumGraphs:
+        sg.embedding = None
+    t2 = Trainer(data, hidden_l=4, epochs=2, emb_dim=6, lr=0.01,
+                 weight_d=5e-5, seed=1, backend="gather")
+    t2.load_summaries(path)
+    for sg, want in zip(data.sumGraphs, want_embs):
+        np.testing.assert_allclose(sg.embedding, want, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(t2.sum_params.rgcn1.weight),
+                               np.asarray(t1.sum_params.rgcn1.weight), rtol=1e-6)
+    # the resumed trainer can run the fine-tune stage
+    res = t2.train_original("summation", configs, "summation", verbose=False)
+    assert 0.0 <= res["test_acc"] <= 1.0
