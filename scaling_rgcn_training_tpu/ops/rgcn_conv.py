@@ -57,13 +57,16 @@ from scaling_rgcn_training_tpu.ops.grouped_matmul import grouped_matmul
 from scaling_rgcn_training_tpu.ops.segment_kernels import (
     SegmentPlan, plan_segmented_reduce, sorted_segment_sum_pallas)
 
+import os as _os
+
 # scatters into tables beyond this are the slow path (VMEM cliff + init
-# traffic); drives forward-mode and backward-strategy selection
-_SMALL_TABLE_BYTES = 256 << 20
+# traffic); drives forward-mode and backward-strategy selection.
+# Env-overridable for measurement/tuning (RGCN_* in bytes / entries).
+_SMALL_TABLE_BYTES = int(_os.environ.get("RGCN_SMALL_TABLE_BYTES", 256 << 20))
 # cap on N*slots for materializing the [N*slots, h] cotangent in backward
-_MAX_COTANGENT_ENTRIES = 8 << 20
+_MAX_COTANGENT_ENTRIES = int(_os.environ.get("RGCN_MAX_COTANGENT_ENTRIES", 8 << 20))
 # scatter targets beyond this no longer fit VMEM -> use the Pallas reduction
-_VMEM_TABLE_BYTES = 8 << 20
+_VMEM_TABLE_BYTES = int(_os.environ.get("RGCN_VMEM_TABLE_BYTES", 8 << 20))
 
 
 class RelEdges(NamedTuple):

@@ -44,9 +44,21 @@ class SegmentPlan(NamedTuple):
     padded_edges: int          # length keys/vals are padded to
 
 
+import os as _os
+
+# Tile defaults. Grid steps ~= E/chunk + 2*M/bucket_rows and each step has
+# ~µs-scale fixed cost (measured: the old 512/512 tiling spent ~40 ms on
+# grid overhead at E=4M, M=200k), so fat tiles win as long as the one-hot
+# [chunk, bucket_rows] intermediate stays well inside VMEM.
+_DEF_BUCKET_ROWS = int(_os.environ.get("RGCN_SEG_BUCKET_ROWS", 512))
+_DEF_CHUNK = int(_os.environ.get("RGCN_SEG_CHUNK", 2048))
+
+
 def plan_segmented_reduce(keys: np.ndarray, num_segments: int,
-                          bucket_rows: int = 512, chunk: int = 512) -> SegmentPlan:
+                          bucket_rows: int = 0, chunk: int = 0) -> SegmentPlan:
     """Host-side: bucket edge ranges for sorted ``keys`` (static data)."""
+    bucket_rows = bucket_rows or _DEF_BUCKET_ROWS
+    chunk = chunk or _DEF_CHUNK
     keys = np.asarray(keys)
     num_buckets = -(-num_segments // bucket_rows)
     bounds = np.arange(num_buckets + 1, dtype=np.int64) * bucket_rows
