@@ -60,10 +60,11 @@ def _ragged_backend(lhs: jnp.ndarray, rhs: jnp.ndarray, group_sizes: jnp.ndarray
     ).astype(lhs.dtype)
 
 
-def _pallas_backend(lhs: jnp.ndarray, rhs: jnp.ndarray, group_sizes: jnp.ndarray) -> jnp.ndarray:
+def _pallas_backend(lhs, rhs, group_sizes, static_offsets=None) -> jnp.ndarray:
     from scaling_rgcn_training_tpu.ops import pallas_kernels
 
-    return pallas_kernels.grouped_matmul_pallas(lhs, rhs, group_sizes)
+    return pallas_kernels.grouped_matmul_pallas(lhs, rhs, group_sizes,
+                                                static_offsets)
 
 
 def grouped_matmul(
@@ -71,12 +72,17 @@ def grouped_matmul(
     rhs: jnp.ndarray,
     group_sizes: jnp.ndarray,
     backend: str | None = None,
+    static_offsets: tuple | None = None,
 ) -> jnp.ndarray:
     """out[i] = lhs[i] @ rhs[group_of(i)] with consecutive groups.
 
     Rows beyond ``sum(group_sizes)`` (if any) are zeroed by construction at
     the call sites (padding edges carry a zero norm coefficient), so their
     value here is irrelevant.
+
+    ``static_offsets`` (host-known per-graph group offsets, e.g.
+    ``RelEdges.group_offsets``) lets the Pallas backend precompute each row
+    tile's intersecting-group range instead of scanning all G groups.
     """
     backend = backend or _DEFAULT_BACKEND
     if backend == "ragged":
@@ -84,5 +90,5 @@ def grouped_matmul(
     if backend == "gather":
         return _gather_backend(lhs, rhs, group_sizes)
     if backend == "pallas":
-        return _pallas_backend(lhs, rhs, group_sizes)
+        return _pallas_backend(lhs, rhs, group_sizes, static_offsets)
     raise ValueError(f"unknown grouped_matmul backend: {backend}")

@@ -332,7 +332,8 @@ def _aggregate_fwd_impl(x, w, edges: RelEdges, mode, backend):
         msg = jnp.take(z, edges.src * slots + edges.rel, axis=0)
     else:
         msg = jnp.take(x, edges.src, axis=0)
-        msg = grouped_matmul(msg, w, edges.group_sizes, backend=backend)
+        msg = grouped_matmul(msg, w, edges.group_sizes, backend=backend,
+                             static_offsets=edges.group_offsets)
     # the norm scale promotes low-precision msg to f32: the d_out-narrow
     # scatter side always accumulates (and returns) f32
     msg = msg * edges.norm[:, None].astype(acc)
@@ -357,7 +358,8 @@ def _aggregate_bwd(mode, backend, res, g_out):
     if not on_tpu:
         # CPU/GPU: XLA scatter has no VMEM cliff; plain formulation
         dmsg = grouped_matmul(g_msg.astype(w.dtype), jnp.swapaxes(w, 1, 2),
-                              edges.group_sizes, backend=backend)   # [E, d_in]
+                              edges.group_sizes, backend=backend,
+                              static_offsets=edges.group_offsets)   # [E, d_in]
         dx = jax.ops.segment_sum(dmsg, edges.src, num_segments=n).astype(x.dtype)
         xs = jnp.take(x, edges.src, axis=0)
         # dw[r] = sum_{e in r} x[src_e]^T g_msg_e — one segment-sum of edge
@@ -389,7 +391,8 @@ def _aggregate_bwd(mode, backend, res, g_out):
         # d_in-wide intermediates stay low-precision (half the HBM traffic
         # of the two big streams: the permutation gather and x[src]).
         dmsg = grouped_matmul(g_msg.astype(w.dtype), jnp.swapaxes(w, 1, 2),
-                              edges.group_sizes, backend=backend)   # [E, d_in]
+                              edges.group_sizes, backend=backend,
+                              static_offsets=edges.group_offsets)   # [E, d_in]
         dmsg_sorted = jnp.take(dmsg, edges.bwd_perm, axis=0)
         dx = sorted_segment_sum_pallas(dmsg_sorted, edges.bwd_src,
                                        edges.bwd_plan).astype(x.dtype)
@@ -397,7 +400,9 @@ def _aggregate_bwd(mode, backend, res, g_out):
         from scaling_rgcn_training_tpu.ops import pallas_kernels
 
         dw = pallas_kernels._drhs(xs, g_msg, edges.group_sizes,
-                                  (slots, d_in, d_out)).astype(w.dtype)
+                                  (slots, d_in, d_out),
+                                  static_offsets=edges.group_offsets
+                                  ).astype(w.dtype)
 
     return dx, dw, None
 

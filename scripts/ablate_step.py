@@ -28,6 +28,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from scaling_rgcn_training_tpu.ops import grouped_matmul as _gm_mod
+from scaling_rgcn_training_tpu.ops.grouped_matmul import set_default_backend
+
+set_default_backend(os.environ.get("BENCH_BACKEND", "ragged"))
+
 from scaling_rgcn_training_tpu.models import init_emb_model
 from scaling_rgcn_training_tpu.ops import build_rel_edges
 from scaling_rgcn_training_tpu.ops.rgcn_conv import (

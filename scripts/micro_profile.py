@@ -1,10 +1,12 @@
-"""DCE/hoist-proof micro timing of conv pipeline pieces on the device.
+"""Trustworthy micro timing of conv pipeline pieces on the device.
 
-Each iteration perturbs one element of the op's first array input with the
-carried scalar (forces re-execution; costs one [1,1] dynamic-update) and
-carries sum(out) (forces the op's value to be consumed). Sums fuse into op
-epilogues, so pure-gather numbers measure the read side; pallas outputs
-are always materialized.
+Methodology (validated against wall-clock): the op's FULL output is the
+scan carry, and each iteration's input is perturbed multiplicatively by
+``mean(carry)`` — XLA cannot DCE (mean consumes every element), cannot
+hoist (input changes every iteration), and cannot factor (the perturbation
+is multiplicative inside a gather/matmul). The carry is materialized every
+iteration, like in the real pipeline. Scalar-carry + sum tricks are NOT
+reliable on this backend — measured 0.01 ms for ops that take 25 ms.
 
 Run: python scripts/micro_profile.py
 """
@@ -33,7 +35,7 @@ e = int(os.environ.get("P_EDGES", 4_000_000))
 r = int(os.environ.get("P_RELS", 45))
 d = int(os.environ.get("P_DIM", 64))
 h = int(os.environ.get("P_OUT", 16))
-inner = int(os.environ.get("P_INNER", 20))
+inner = int(os.environ.get("P_INNER", 10))
 only = os.environ.get("P_ONLY", "")
 
 rng = np.random.default_rng(0)
@@ -46,6 +48,7 @@ ep = len(edges.src)
 
 x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
 w = jnp.asarray(rng.standard_normal((slots, d, h)) * 0.1, jnp.float32)
+w2 = jnp.asarray(rng.standard_normal((slots, h, 8)) * 0.1, jnp.float32)
 msg_d = jnp.asarray(rng.standard_normal((ep, d)), jnp.float32)
 msg_h = jnp.asarray(rng.standard_normal((ep, h)), jnp.float32)
 
@@ -54,21 +57,20 @@ print(f"N={n} E={e} (padded {ep}) slots={slots} d={d} h={h} inner={inner} "
 
 
 def timeit(name, fn, first, *rest):
-    """fn(first, *rest) -> array. Perturb first[0,0] by the carry scalar."""
+    """Time fn(first, *rest). Output-carried chain; see module docstring."""
     if only and only not in name:
         return None
 
-    def run(t0, a, *others):
-        def body(t, _):
-            a2 = lax.dynamic_update_slice(a, t[None, None].astype(a.dtype), (0, 0))
-            out = fn(a2, *others)
-            return jnp.sum(out).astype(jnp.float32) * 1e-20, None
+    def run(carry, a, *others):
+        def body(c, _):
+            a2 = a * (1.0 + 1e-24 * jnp.mean(c).astype(a.dtype))
+            return fn(a2, *others), None
 
-        return lax.scan(body, t0, None, length=inner)[0]
+        return lax.scan(body, carry, None, length=inner)[0]
 
     g = jax.jit(run)
     t0 = time.perf_counter()
-    o = g(jnp.float32(0), first, *rest); jax.block_until_ready(o)
+    o = g(fn(first, *rest), first, *rest); jax.block_until_ready(o)
     tc = time.perf_counter() - t0
     t0 = time.perf_counter()
     o = g(o, first, *rest); jax.block_until_ready(o)
@@ -77,28 +79,34 @@ def timeit(name, fn, first, *rest):
     return dt
 
 
-timeit("baseline: perturb+sum only [E,16]", lambda m: m, msg_h)
-timeit("gather x[src] [N,64]->[E,64]", lambda xx, ss: jnp.take(xx, ss, axis=0), x, edges.src)
-timeit("gather msg[perm] [E,16]->[E,16]", lambda m, p: jnp.take(m, p, axis=0), msg_h, edges.bwd_perm)
-timeit("gather msg[perm] [E,64]->[E,64]", lambda m, p: jnp.take(m, p, axis=0), msg_d, edges.bwd_perm)
-timeit("ragged_dot [E,64]->[E,16]",
-       lambda a, b: grouped_matmul(a, b, edges.group_sizes, backend="ragged"), msg_d, w)
-timeit("ragged_dot [E,16]->[E,8]",
-       lambda a, b: grouped_matmul(a, b, edges.group_sizes, backend="ragged"),
-       msg_h, jnp.asarray(rng.standard_normal((slots, h, 8)) * 0.1, jnp.float32))
-timeit("pallas gmm [E,64]->[E,16]",
-       lambda a, b: grouped_matmul(a, b, edges.group_sizes, backend="pallas"), msg_d, w)
-timeit("xla segsum dst [E,16]->[N,16]",
-       lambda m, dd: jax.ops.segment_sum(m, dd, num_segments=n), msg_h, edges.dst)
-timeit("pallas segsum [E,16]->[N,16]",
-       lambda m: sorted_segment_sum_pallas(m, edges.dst_sorted, edges.dst_plan), msg_h)
-timeit("pallas segsum [E,64]->[N,64]",
-       lambda m: sorted_segment_sum_pallas(m, edges.bwd_src, edges.bwd_plan), msg_d)
-timeit("perm+pallas segsum [E,16]->[N,16]",
-       lambda m: sorted_segment_sum_pallas(
-           jnp.take(m, edges.dst_perm, axis=0), edges.dst_sorted, edges.dst_plan), msg_h)
+xh_small = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
 
+timeit("elementwise [E,64]*c (bandwidth ref)", lambda m: m * 1.0001, msg_d)
+timeit("tile [E,16]->[E,64] (chain baseline)", lambda m: jnp.tile(m, (1, d // h))[:, :h], msg_h)
+timeit("gather x[src] [N,64]->[E,64]", lambda xx: jnp.take(xx, edges.src, axis=0), x)
+timeit("gather small-table [N,16]->[E,16]", lambda xx: jnp.take(xx, edges.dst, axis=0), xh_small)
+timeit("gather msg[perm] [E,16]->[E,16]", lambda m: jnp.take(m, edges.bwd_perm, axis=0), msg_h)
+timeit("gather msg[perm] [E,64]->[E,64]", lambda m: jnp.take(m, edges.bwd_perm, axis=0), msg_d)
+timeit("ragged_dot [E,64]->[E,16] (as carry [E,16])",
+       lambda m: grouped_matmul(
+           jnp.tile(m, (1, d // h)), w, edges.group_sizes, backend="ragged"), msg_h)
+timeit("ragged_dot [E,16]->[E,8]",
+       lambda m: jnp.tile(grouped_matmul(m, w2, edges.group_sizes,
+                                         backend="ragged"), (1, 2)), msg_h)
+timeit("pallas gmm [E,64]->[E,16] (tile-ranged)",
+       lambda m: grouped_matmul(jnp.tile(m, (1, d // h)), w, edges.group_sizes,
+                                backend="pallas",
+                                static_offsets=edges.group_offsets), msg_h)
+timeit("xla segsum dst [E,16]->[E,16](take-back)",
+       lambda m: jnp.take(jax.ops.segment_sum(m, edges.dst, num_segments=n),
+                          edges.dst, axis=0), msg_h)
+timeit("pallas segsum sorted [E,16](take-back)",
+       lambda m: jnp.take(sorted_segment_sum_pallas(m, edges.dst_sorted,
+                                                    edges.dst_plan),
+                          edges.dst_sorted, axis=0), msg_h)
 from scaling_rgcn_training_tpu.ops import pallas_kernels
-timeit("pallas _drhs [E,64]x[E,16]->[slots,64,16]",
-       lambda a, b: pallas_kernels._drhs(a, b, edges.group_sizes, (slots, d, h)),
-       msg_d, msg_h)
+timeit("pallas _drhs (carry [E,16])",
+       lambda m: m * jnp.mean(pallas_kernels._drhs(
+           jnp.tile(m, (1, d // h)), m, edges.group_sizes, (slots, d, h),
+           static_offsets=edges.group_offsets)),
+       msg_h)
