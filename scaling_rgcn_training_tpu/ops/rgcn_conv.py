@@ -104,15 +104,29 @@ class RelEdges(NamedTuple):
     dst_plan: Optional[SegmentPlan]
     num_nodes: int
     group_offsets: tuple = ()
+    # dst-major copies for the fused forward kernel (aligned with
+    # dst_sorted/dst_plan): src/rel/norm values in dst-sorted order
+    fwd2_src: Optional[jnp.ndarray] = None
+    fwd2_rel: Optional[jnp.ndarray] = None
+    fwd2_norm: Optional[jnp.ndarray] = None
+    # src-major copies for the fused backward kernel (aligned with
+    # bwd_src/bwd_plan): dst/rel/norm values in (src, rel)-sorted order
+    bwd_dst: Optional[jnp.ndarray] = None
+    bwd_rel: Optional[jnp.ndarray] = None
+    bwd_norm: Optional[jnp.ndarray] = None
 
 
 jax.tree_util.register_pytree_node(
     RelEdges,
     lambda e: ((e.src, e.dst, e.norm, e.group_sizes, e.rel,
                 e.bwd_perm, e.bwd_src, e.bwd_keys, e.bwd_plan,
-                e.dst_perm, e.dst_sorted, e.dst_plan),
+                e.dst_perm, e.dst_sorted, e.dst_plan,
+                e.fwd2_src, e.fwd2_rel, e.fwd2_norm,
+                e.bwd_dst, e.bwd_rel, e.bwd_norm),
                (e.num_nodes, e.group_offsets)),
-    lambda aux, ch: RelEdges(*ch, num_nodes=aux[0], group_offsets=aux[1]),
+    lambda aux, ch: RelEdges(*ch[:12], num_nodes=aux[0], group_offsets=aux[1],
+                             fwd2_src=ch[12], fwd2_rel=ch[13], fwd2_norm=ch[14],
+                             bwd_dst=ch[15], bwd_rel=ch[16], bwd_norm=ch[17]),
 )
 
 # SegmentPlan: offsets array is data; the shape/bucket ints are static.
@@ -162,30 +176,27 @@ def build_rel_edges(
         typ = np.concatenate([typ, np.full(n_pad, num_slots - 1, np.int32)])
         group_sizes[num_slots - 1] += n_pad  # pad rows live in the empty slot
 
-    # backward layout: (src, rel)-sorted permutation for write-once
-    # segmented reductions. Small graphs reduce over N*slots (src, rel)
-    # segments (the [N*slots, h] cotangent is then contracted densely);
-    # large graphs reduce over N segments after a per-edge transform.
+    # backward layout: (src, rel)-sorted order for the write-once fused
+    # backward kernel (dx/dW in one pass) and the per-edge-transform
+    # fallback; the reduction segments are the N source nodes.
     perm = np.lexsort((typ, src)).astype(np.int32)
     bwd_src_np = src[perm]
     bwd_perm = jnp.asarray(perm)
     bwd_src = jnp.asarray(bwd_src_np)
-    if num_nodes * num_slots <= _MAX_COTANGENT_ENTRIES:
-        keys_np = bwd_src_np.astype(np.int64) * num_slots + typ[perm]
-        bwd_keys = jnp.asarray(keys_np.astype(np.int32))
-        bwd_plan = plan_segmented_reduce(keys_np, num_nodes * num_slots)
-    else:
-        bwd_keys = None
-        bwd_plan = plan_segmented_reduce(bwd_src_np, num_nodes)
+    bwd_plan = plan_segmented_reduce(bwd_src_np, num_nodes)
+    bwd_dst = jnp.asarray(dst[perm])
+    bwd_rel = jnp.asarray(typ[perm])
+    bwd_norm = jnp.asarray(norm[perm])
 
-    # forward scatter for large N: the [N, h] target exceeds VMEM, so the
-    # forward also switches to a dst-sorted write-once reduction
-    dst_perm = dst_sorted = dst_plan = None
-    if num_nodes * 16 * 4 > _VMEM_TABLE_BYTES:
-        dperm = np.argsort(dst, kind="stable").astype(np.int32)
-        dst_perm = jnp.asarray(dperm)
-        dst_sorted = jnp.asarray(dst[dperm])
-        dst_plan = plan_segmented_reduce(dst[dperm], num_nodes)
+    # dst-major layout for the fused forward kernel (and the dst-sorted
+    # write-once reduction the non-fused forward uses past the VMEM cliff)
+    dperm = np.argsort(dst, kind="stable").astype(np.int32)
+    dst_perm = jnp.asarray(dperm)
+    dst_sorted = jnp.asarray(dst[dperm])
+    dst_plan = plan_segmented_reduce(dst[dperm], num_nodes)
+    fwd2_src = jnp.asarray(src[dperm])
+    fwd2_rel = jnp.asarray(typ[dperm])
+    fwd2_norm = jnp.asarray(norm[dperm])
 
     offsets = tuple(int(v) for v in np.concatenate([[0], np.cumsum(group_sizes)]))
     return RelEdges(
@@ -196,13 +207,19 @@ def build_rel_edges(
         rel=jnp.asarray(typ),
         bwd_perm=bwd_perm,
         bwd_src=bwd_src,
-        bwd_keys=bwd_keys,
+        bwd_keys=None,
         bwd_plan=bwd_plan,
         dst_perm=dst_perm,
         dst_sorted=dst_sorted,
         dst_plan=dst_plan,
         num_nodes=int(num_nodes),
         group_offsets=offsets,
+        fwd2_src=fwd2_src,
+        fwd2_rel=fwd2_rel,
+        fwd2_norm=fwd2_norm,
+        bwd_dst=bwd_dst,
+        bwd_rel=bwd_rel,
+        bwd_norm=bwd_norm,
     )
 
 
@@ -321,6 +338,15 @@ def _aggregate_fwd_impl(x, w, edges: RelEdges, mode, backend):
     n = edges.num_nodes
     d_out = w.shape[2]
     acc = _acc_dtype(x.dtype)
+    if mode == "fused":
+        # ONE kernel: per-edge relational matmul + write-once scatter over
+        # dst-sorted edges; only the [E, d_in] source gather stays in XLA
+        from scaling_rgcn_training_tpu.ops.fused_kernels import rel_matmul_scatter
+
+        vals = jnp.take(x, edges.fwd2_src, axis=0) \
+            * edges.fwd2_norm[:, None].astype(x.dtype)
+        return rel_matmul_scatter(vals, edges.fwd2_rel, edges.dst_sorted,
+                                  edges.dst_plan, w).astype(acc)
     if mode == "prematmul":
         slots = w.shape[0]
         # ONE flat matmul: [N, d] @ [d, slots*h] -> [N*slots, h] in src-major
@@ -337,7 +363,8 @@ def _aggregate_fwd_impl(x, w, edges: RelEdges, mode, backend):
     # the norm scale promotes low-precision msg to f32: the d_out-narrow
     # scatter side always accumulates (and returns) f32
     msg = msg * edges.norm[:, None].astype(acc)
-    if edges.dst_plan is not None and jax.default_backend() == "tpu":
+    if (edges.dst_plan is not None and jax.default_backend() == "tpu"
+            and n * d_out * 4 > _VMEM_TABLE_BYTES):
         msg = jnp.take(msg, edges.dst_perm, axis=0)
         return sorted_segment_sum_pallas(msg, edges.dst_sorted, edges.dst_plan
                                          ).astype(acc)
@@ -352,8 +379,14 @@ def _aggregate_bwd(mode, backend, res, g_out):
     x, w, edges = res
     n = edges.num_nodes
     slots, d_in, d_out = w.shape
-    g_msg = jnp.take(g_out, edges.dst, axis=0) * edges.norm[:, None]  # [E, h]
     on_tpu = jax.default_backend() == "tpu"
+    from scaling_rgcn_training_tpu.ops.fused_kernels import (
+        fused_ok, rel_backward_scatter)
+
+    use_fused = on_tpu and edges.bwd_dst is not None and fused_ok(
+        slots, d_in, d_out)
+    if not use_fused:
+        g_msg = jnp.take(g_out, edges.dst, axis=0) * edges.norm[:, None]  # [E, h]
 
     if not on_tpu:
         # CPU/GPU: XLA scatter has no VMEM cliff; plain formulation
@@ -372,19 +405,18 @@ def _aggregate_bwd(mode, backend, res, g_out):
         ).reshape(slots, d_in, d_out).astype(w.dtype)
         return dx, dw, None
 
-    if edges.bwd_keys is not None:
-        # small/medium graphs: ONE write-once Pallas reduction into the
-        # [N, slots, h] cotangent, then dense MXU contractions
-        gp = jnp.take(g_msg, edges.bwd_perm, axis=0)
-        dz = sorted_segment_sum_pallas(gp, edges.bwd_keys, edges.bwd_plan)
-        # dz is [N*slots, h] in src-major layout -> flat matmuls
-        dz2 = dz.reshape(n, slots * d_out)
-        w_flat = jnp.swapaxes(w, 0, 1).reshape(d_in, slots * d_out)
-        dx = jnp.dot(dz2, w_flat.T, preferred_element_type=jnp.float32
-                     ).astype(x.dtype)
-        dw = jnp.swapaxes(
-            jnp.dot(x.T, dz2, preferred_element_type=jnp.float32
-                    ).reshape(d_in, slots, d_out), 0, 1).astype(w.dtype)
+    if use_fused:
+        # ONE kernel over (src, rel)-sorted edges produces BOTH dx and dW
+        # (write-once src buckets; W and the dW accumulator live in VMEM).
+        # The only XLA pass is re-gathering the cotangent from the small
+        # [N, d_out] table in src-sorted order — cheaper than permuting
+        # the [E, d_out] message stream.
+        t = (jnp.take(g_out, edges.bwd_dst, axis=0)
+             * edges.bwd_norm[:, None]).astype(w.dtype)
+        dx, dw = rel_backward_scatter(t, edges.bwd_rel, edges.bwd_src,
+                                      edges.bwd_plan, x, w)
+        dx = dx.astype(x.dtype)
+        dw = dw.astype(w.dtype)
     else:
         # large-N path: per-edge transform back to d_in, then a write-once
         # src-sorted reduction into [N, d_in]. In mixed precision the
@@ -451,8 +483,14 @@ def rgcn_conv(
 
     w = materialize_weight(params)
     if mode == "auto":
-        mode = _edge_traffic_mode(edges.num_nodes, w.shape[0],
-                                  edges.src.shape[0], w.shape[1], w.shape[2])
+        from scaling_rgcn_training_tpu.ops.fused_kernels import fused_ok
+
+        if (jax.default_backend() == "tpu" and edges.fwd2_src is not None
+                and fused_ok(w.shape[0], w.shape[1], w.shape[2])):
+            mode = "fused"
+        else:
+            mode = _edge_traffic_mode(edges.num_nodes, w.shape[0],
+                                      edges.src.shape[0], w.shape[1], w.shape[2])
     if compute_dtype is not None:
         cd = jnp.dtype(compute_dtype)
         agg = relational_aggregate(x.astype(cd), w.astype(cd), edges, mode,
