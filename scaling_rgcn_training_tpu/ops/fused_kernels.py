@@ -62,8 +62,9 @@ def _pad_rows(a: jnp.ndarray, rows: int) -> jnp.ndarray:
 
 # -- forward: msg_e = vals_e @ W[rel_e]; out[key_e] += msg_e ------------------
 
-def _fwd_kernel(offs_ref, rel_ref, keys_ref, vals_ref, w_ref, out_ref, *,
-                s: int, chunk: int, slots: int, d_out: int):
+def _fwd_kernel(offs_ref, code_ref, vals_ref, w_ref, e_ref, g_ref,
+                out_ref, *, s: int, chunk: int, slots: int, d_out: int,
+                shift: int):
     j = pl.program_id(0)
     ci = pl.program_id(1)
     e_lo = offs_ref[j]
@@ -77,31 +78,39 @@ def _fwd_kernel(offs_ref, rel_ref, keys_ref, vals_ref, w_ref, out_ref, *,
     @pl.when(jnp.logical_and(base < e_hi, e_lo < e_hi))
     def _():
         # sub-chunked: DMA blocks stay fat, VMEM intermediates (the one-hot
-        # matrices) stay small
+        # matrices) stay small. All heavy selection work rides the MXU in
+        # a few LARGE matmuls (tiny per-relation dots starve the MXU):
+        #   P = vals @ Wf           [sub, R*d_out]  every relation's output
+        #   X = relhot @ E          [sub, R*d_out]  d_out-expanded rel mask
+        #   msg = (P * X) @ G       [sub, d_out]    pick own relation + fold
+        #   out += keyhot^T @ msg   [s, d_out]      write-once scatter
         sub = min(chunk, 512)
         dtype = vals_ref.dtype
         for q in range(chunk // sub):
-            sl = pl.ds(q * sub, sub)
-            vals = vals_ref[sl, :]                            # [sub, d_in]
-            rel = rel_ref[sl, 0]
-            rcol = jax.lax.broadcasted_iota(jnp.int32, (sub, slots), 1)
-            relhot = (rel[:, None] == rcol).astype(jnp.float32)  # [sub, slots]
-            # per output dim: project vals against EVERY relation's column
-            # o, then the relation one-hot row-sum picks each edge's own
-            cols = []
-            for o in range(d_out):
-                p_o = jax.lax.dot(vals, w_ref[o],
-                                  preferred_element_type=jnp.float32)
-                cols.append(jnp.sum(p_o * relhot, axis=1, keepdims=True))
-            msg = jnp.concatenate(cols, axis=1).astype(dtype)  # [sub, d_out]
-            # scatter: rows outside [e_lo, e_hi) have keys outside this
-            # bucket (keys sorted + exact offsets) -> one-hot zeroes them
-            local = keys_ref[sl, 0][:, None] - j * s
-            scol = jax.lax.broadcasted_iota(jnp.int32, (sub, s), 1)
-            keyhot = (local == scol).astype(dtype)            # [sub, s]
-            out_ref[:] += jax.lax.dot_general(
-                keyhot, msg, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+            @pl.when(jnp.logical_and(base + q * sub < e_hi,
+                                     base + (q + 1) * sub > e_lo))
+            def _(q=q):
+                sl = pl.ds(q * sub, sub)
+                vals = vals_ref[sl, :]                        # [sub, d_in]
+                code = code_ref[sl, 0][:, None]               # [sub, 1]
+                rel = jnp.bitwise_and(code, (1 << shift) - 1)
+                rcol = jax.lax.broadcasted_iota(jnp.int32, (sub, slots), 1)
+                relhot = (rel == rcol).astype(dtype)          # [sub, slots]
+                p_all = jax.lax.dot(vals, w_ref[:],
+                                    preferred_element_type=jnp.float32)
+                relexp = jax.lax.dot(relhot, e_ref[:],
+                                     preferred_element_type=jnp.float32)
+                msg = jax.lax.dot((p_all * relexp).astype(dtype), g_ref[:],
+                                  preferred_element_type=jnp.float32
+                                  ).astype(dtype)             # [sub, d_out]
+                # scatter: rows outside [e_lo, e_hi) have keys outside this
+                # bucket (keys sorted + exact offsets) -> one-hot zeroes them
+                local = jax.lax.shift_right_logical(code, shift) - j * s
+                scol = jax.lax.broadcasted_iota(jnp.int32, (sub, s), 1)
+                keyhot = (local == scol).astype(dtype)        # [sub, s]
+                out_ref[:] += jax.lax.dot_general(
+                    keyhot, msg, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def rel_matmul_scatter(vals: jnp.ndarray, rel: jnp.ndarray,
@@ -124,37 +133,54 @@ def rel_matmul_scatter(vals: jnp.ndarray, rel: jnp.ndarray,
         rel = jnp.pad(rel, (0, ep - rel.shape[0]))
         keys = jnp.pad(keys, (0, ep - keys.shape[0]),
                        constant_values=np.int32(plan.num_segments))
-    # o-major weight layout: w_oi[o] = [d_in, slots] slab for output dim o
-    w_oi = jnp.transpose(w, (2, 1, 0)).astype(vals.dtype)
+    # key and rel packed into ONE int32 stream (the [chunk, 1] int blocks
+    # are lane-padded to 128 in VMEM, so every extra stream costs ~1 MB of
+    # double-buffered VMEM and a DMA channel)
+    shift = max(1, int(np.ceil(np.log2(max(slots, 2)))))
+    assert (plan.num_segments << shift) < 2**31
+    code = (keys.astype(jnp.int32) << shift) | rel.astype(jnp.int32)
+    # flat weight layout Wf[i, r*d_out+o] = w[r, i, o]; the q-expansion
+    # one-hot E[r, q] = 1[q // d_out == r] and fold matrix G[q, o] =
+    # 1[q % d_out == o] are tiny static 0/1 operands kept in VMEM so the
+    # per-edge relation selection runs on the MXU, not the VPU
+    rq = slots * d_out
+    w_flat = jnp.transpose(w, (1, 0, 2)).reshape(d_in, rq).astype(vals.dtype)
+    qs = np.arange(rq, dtype=np.int64)
+    e_mat = jnp.asarray((qs[None, :] // d_out == np.arange(slots)[:, None]
+                         ).astype(np.float32)).astype(vals.dtype)
+    g_mat = jnp.asarray((qs[:, None] % d_out == np.arange(d_out)[None, :]
+                         ).astype(np.float32)).astype(vals.dtype)
 
     def edge_block(j, ci, offs):
         return (jnp.minimum(offs[j] // chunk + ci, ep // chunk - 1), 0)
 
+    const_block = lambda shape: pl.BlockSpec(shape, lambda j, ci, offs: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_buckets, plan.max_chunks),
         in_specs=[
             pl.BlockSpec((chunk, 1), edge_block),
-            pl.BlockSpec((chunk, 1), edge_block),
             pl.BlockSpec((chunk, d_in), edge_block),
-            pl.BlockSpec((d_out, d_in, slots), lambda j, ci, offs: (0, 0, 0)),
+            const_block((d_in, rq)),
+            const_block((slots, rq)),
+            const_block((rq, d_out)),
         ],
         out_specs=pl.BlockSpec((s, d_out), lambda j, ci, offs: (j, 0)),
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, s=s, chunk=chunk, slots=slots,
-                          d_out=d_out),
+                          d_out=d_out, shift=shift),
         out_shape=jax.ShapeDtypeStruct((m_pad, d_out), jnp.float32),
         grid_spec=grid_spec,
-    )(plan.offsets, rel.reshape(-1, 1), keys.reshape(-1, 1), vals, w_oi)
+    )(plan.offsets, code.reshape(-1, 1), vals, w_flat, e_mat, g_mat)
     return out[:plan.num_segments]
 
 
 # -- backward: dx[src] += t_e @ W[rel_e]^T ; dW[rel_e] += x[src_e]^T t_e ------
 
-def _bwd_kernel(offs_ref, rel_ref, keys_ref, t_ref, x_ref, w_ref,
-                dx_ref, dw_ref, *, s: int, chunk: int, slots: int,
-                d_out: int):
+def _bwd_kernel(offs_ref, code_ref, t_ref, x_ref, w_ref, e_ref,
+                tt_ref, dx_ref, dw_ref, *, s: int, chunk: int, slots: int,
+                d_out: int, shift: int):
     j = pl.program_id(0)
     ci = pl.program_id(1)
     e_lo = offs_ref[j]
@@ -171,35 +197,47 @@ def _bwd_kernel(offs_ref, rel_ref, keys_ref, t_ref, x_ref, w_ref,
 
     @pl.when(jnp.logical_and(base < e_hi, e_lo < e_hi))
     def _():
+        # the expanded mask M[e, r*d_out+o] = 1[rel_e == r] * t_e[o] feeds
+        # BOTH gradients through large MXU contractions:
+        #   dmsg = M @ Wf^T-flat    [sub, d_in]      (per-edge t @ W[rel]^T)
+        #   dW  += M^T @ xs         [R*d_out, d_in]  (per-relation outer)
+        #   dx  += srchot^T @ dmsg  [s, d_in]        (write-once scatter)
+        # M itself is built by two MXU expansions (relhot @ E, t @ T), so
+        # the VPU only pays one [sub, R*d_out] elementwise multiply.
         sub = min(chunk, 512)
         dtype = t_ref.dtype
         for q in range(chunk // sub):
-            sl = pl.ds(q * sub, sub)
-            t = t_ref[sl, :]                                  # [sub, d_out]
-            rel = rel_ref[sl, 0]
-            rcol = jax.lax.broadcasted_iota(jnp.int32, (sub, slots), 1)
-            relhot = (rel[:, None] == rcol).astype(dtype)     # [sub, slots]
-            # src one-hot: out-of-bucket rows (sorted keys, exact offsets)
-            # and padding rows (t = 0 via norm) self-mask
-            local = keys_ref[sl, 0][:, None] - j * s
-            scol = jax.lax.broadcasted_iota(jnp.int32, (sub, s), 1)
-            srchot = (local == scol).astype(dtype)            # [sub, s]
-            xs = jax.lax.dot(srchot, x_ref[:],
-                             preferred_element_type=jnp.float32)
-            xs = xs.astype(dtype)                             # [sub, d_in]
-            dmsg = None
-            for o in range(d_out):
-                m_o = relhot * t[:, o][:, None]               # [sub, slots]
-                d_o = jax.lax.dot(m_o, w_ref[o],
-                                  preferred_element_type=jnp.float32)
-                dmsg = d_o if dmsg is None else dmsg + d_o    # [sub, d_in]
-                dw_ref[o] += jax.lax.dot_general(
-                    m_o, xs, dimension_numbers=(((0,), (0,)), ((), ())),
+            @pl.when(jnp.logical_and(base + q * sub < e_hi,
+                                     base + (q + 1) * sub > e_lo))
+            def _(q=q):
+                sl = pl.ds(q * sub, sub)
+                t = t_ref[sl, :]                              # [sub, d_out]
+                code = code_ref[sl, 0][:, None]               # [sub, 1]
+                rel = jnp.bitwise_and(code, (1 << shift) - 1)
+                rcol = jax.lax.broadcasted_iota(jnp.int32, (sub, slots), 1)
+                relhot = (rel == rcol).astype(dtype)          # [sub, slots]
+                # src one-hot: out-of-bucket rows (sorted keys, exact
+                # offsets) and padding rows (t = 0 via norm) self-mask
+                local = jax.lax.shift_right_logical(code, shift) - j * s
+                scol = jax.lax.broadcasted_iota(jnp.int32, (sub, s), 1)
+                srchot = (local == scol).astype(dtype)        # [sub, s]
+                xs = jax.lax.dot(srchot, x_ref[:],
+                                 preferred_element_type=jnp.float32)
+                xs = xs.astype(dtype)                         # [sub, d_in]
+                relexp = jax.lax.dot(relhot, e_ref[:],
+                                     preferred_element_type=jnp.float32)
+                texp = jax.lax.dot(t, tt_ref[:],
+                                   preferred_element_type=jnp.float32)
+                m_exp = (relexp * texp).astype(dtype)         # [sub, R*d_out]
+                dmsg = jax.lax.dot(m_exp, w_ref[:],
+                                   preferred_element_type=jnp.float32)
+                dw_ref[:] += jax.lax.dot_general(
+                    m_exp, xs, dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(dw_ref.dtype)
-            dx_ref[:] += jax.lax.dot_general(
-                srchot, dmsg.astype(dtype),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+                dx_ref[:] += jax.lax.dot_general(
+                    srchot, dmsg.astype(dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dx_ref.dtype)
 
 
 def rel_backward_scatter(t: jnp.ndarray, rel: jnp.ndarray, keys: jnp.ndarray,
@@ -224,34 +262,47 @@ def rel_backward_scatter(t: jnp.ndarray, rel: jnp.ndarray, keys: jnp.ndarray,
         keys = jnp.pad(keys, (0, ep - keys.shape[0]),
                        constant_values=np.int32(plan.num_segments))
     x_pad = _pad_rows(x.astype(t.dtype), m_pad)
-    # o-major: w_oi[o] = [slots, d_in] slab (t @ W^T selects rows by rel)
-    w_oi = jnp.transpose(w, (2, 0, 1)).astype(t.dtype)
+    shift = max(1, int(np.ceil(np.log2(max(slots, 2)))))
+    assert (plan.num_segments << shift) < 2**31
+    code = (keys.astype(jnp.int32) << shift) | rel.astype(jnp.int32)
+    # flat layout: row q = (rel q // d_out, out-dim q % d_out); Wf[q, i] =
+    # w[r, i, o]. E and T are the static 0/1 expansion operands (see kernel)
+    rq = slots * d_out
+    w_flat = jnp.transpose(w, (0, 2, 1)).reshape(rq, d_in).astype(t.dtype)
+    qs = np.arange(rq, dtype=np.int64)
+    e_mat = jnp.asarray((qs[None, :] // d_out == np.arange(slots)[:, None]
+                         ).astype(np.float32)).astype(t.dtype)
+    t_mat = jnp.asarray((qs[None, :] % d_out == np.arange(d_out)[:, None]
+                         ).astype(np.float32)).astype(t.dtype)
 
     def edge_block(j, ci, offs):
         return (jnp.minimum(offs[j] // chunk + ci, ep // chunk - 1), 0)
 
+    const_block = lambda shape: pl.BlockSpec(shape, lambda j, ci, offs: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_buckets, plan.max_chunks),
         in_specs=[
             pl.BlockSpec((chunk, 1), edge_block),
-            pl.BlockSpec((chunk, 1), edge_block),
             pl.BlockSpec((chunk, d_out), edge_block),
             pl.BlockSpec((s, d_in), lambda j, ci, offs: (j, 0)),
-            pl.BlockSpec((d_out, slots, d_in), lambda j, ci, offs: (0, 0, 0)),
+            const_block((rq, d_in)),
+            const_block((slots, rq)),
+            const_block((d_out, rq)),
         ],
         out_specs=[
             pl.BlockSpec((s, d_in), lambda j, ci, offs: (j, 0)),
-            pl.BlockSpec((d_out, slots, d_in), lambda j, ci, offs: (0, 0, 0)),
+            const_block((rq, d_in)),
         ],
     )
-    dx, dw_oi = pl.pallas_call(
+    dx, dw_flat = pl.pallas_call(
         functools.partial(_bwd_kernel, s=s, chunk=chunk, slots=slots,
-                          d_out=d_out),
+                          d_out=d_out, shift=shift),
         out_shape=[
             jax.ShapeDtypeStruct((m_pad, d_in), jnp.float32),
-            jax.ShapeDtypeStruct((d_out, slots, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((rq, d_in), jnp.float32),
         ],
         grid_spec=grid_spec,
-    )(plan.offsets, rel.reshape(-1, 1), keys.reshape(-1, 1), t, x_pad, w_oi)
-    return dx[:plan.num_segments], jnp.transpose(dw_oi, (1, 2, 0))
+    )(plan.offsets, code.reshape(-1, 1), t, x_pad, w_flat, e_mat, t_mat)
+    dw = jnp.transpose(dw_flat.reshape(slots, d_out, d_in), (0, 2, 1))
+    return dx[:plan.num_segments], dw
