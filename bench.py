@@ -52,7 +52,13 @@ def main() -> None:
     c = 8
     steps = int(os.environ.get("BENCH_STEPS", 10))
     backend = os.environ.get("BENCH_BACKEND", "ragged")
-    compute_dtype = os.environ.get("BENCH_COMPUTE_DTYPE") or None
+    # TPU-native default: bf16 edge streams with f32 accumulation (the
+    # idiomatic TPU precision regime; quality parity is covered by the
+    # mixed-precision integration tests). BENCH_COMPUTE_DTYPE=float32 opts
+    # out.
+    compute_dtype = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
+    if compute_dtype in ("", "float32", "f32", "none"):
+        compute_dtype = None
     num_layers = 2
 
     log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")

@@ -67,6 +67,11 @@ _SMALL_TABLE_BYTES = int(_os.environ.get("RGCN_SMALL_TABLE_BYTES", 256 << 20))
 _MAX_COTANGENT_ENTRIES = int(_os.environ.get("RGCN_MAX_COTANGENT_ENTRIES", 8 << 20))
 # scatter targets beyond this no longer fit VMEM -> use the Pallas reduction
 _VMEM_TABLE_BYTES = int(_os.environ.get("RGCN_VMEM_TABLE_BYTES", 8 << 20))
+# narrow-input layers stream cheaply per edge; the fused kernel's [sub,
+# R*d_out] VMEM traffic only pays off for wide inputs (measured at E=4M,
+# slots=91 on v5e: d_in=64 fused 53ms vs edge 90ms; d_in=16 fused 31ms vs
+# edge 10ms)
+_FUSED_MIN_DIN = int(_os.environ.get("RGCN_FUSED_MIN_DIN", 32))
 
 
 class RelEdges(NamedTuple):
@@ -486,7 +491,8 @@ def rgcn_conv(
         from scaling_rgcn_training_tpu.ops.fused_kernels import fused_ok
 
         if (jax.default_backend() == "tpu" and edges.fwd2_src is not None
-                and fused_ok(w.shape[0], w.shape[1], w.shape[2])):
+                and fused_ok(w.shape[0], w.shape[1], w.shape[2])
+                and w.shape[1] >= _FUSED_MIN_DIN):
             mode = "fused"
         else:
             mode = _edge_traffic_mode(edges.num_nodes, w.shape[0],

@@ -25,6 +25,13 @@ from scaling_rgcn_training_tpu.utils import jaxcache
 jaxcache.enable()
 
 import jax
+
+# The axon sitecustomize force-registers the TPU backend even when
+# JAX_PLATFORMS=cpu is exported; honor the CPU request ourselves (same
+# trick as tests/conftest.py / __graft_entry__.dryrun_multichip).
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import optax
 
