@@ -55,10 +55,19 @@ def main() -> None:
     # TPU-native default: bf16 edge streams with f32 accumulation (the
     # idiomatic TPU precision regime; quality parity is covered by the
     # mixed-precision integration tests). BENCH_COMPUTE_DTYPE=float32 opts
-    # out.
-    compute_dtype = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
-    if compute_dtype in ("", "float32", "f32", "none"):
+    # out. The baseline loop below runs in the SAME compute dtype so
+    # vs_baseline isolates dataflow, not precision.
+    dtype_str = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16").strip().lower()
+    if dtype_str in ("", "float32", "f32", "fp32", "none"):
         compute_dtype = None
+        dtype_str = "float32"
+    elif dtype_str in ("bfloat16", "bf16"):
+        compute_dtype = jnp.bfloat16
+        dtype_str = "bfloat16"
+    else:
+        raise SystemExit(
+            f"BENCH_COMPUTE_DTYPE={dtype_str!r} not recognized; "
+            "use float32/f32/fp32/none or bfloat16/bf16")
     num_layers = 2
 
     log(f"bench: backend={jax.default_backend()} devices={jax.devices()}")
@@ -127,8 +136,12 @@ def main() -> None:
     from scaling_rgcn_training_tpu.ops.rgcn_conv import materialize_weight
 
     def rgcn_conv_loop(x, p, ed):
-        w = materialize_weight(p)
-        out = x @ p.root + p.bias
+        # same compute dtype as the optimized path: the comparison isolates
+        # dataflow (R-pass loop vs fused), not precision
+        cd = compute_dtype or x.dtype
+        w = materialize_weight(p).astype(cd)
+        out = (x @ p.root + p.bias).astype(jnp.float32)
+        x = x.astype(cd)
         src_j, dst_j, norm_j = ed.src, ed.dst, ed.norm
         # R separate masked passes over the full edge list (PyG RGCNConv's
         # structure). Unrolled: each pass is gather -> mask -> segment_sum
@@ -139,9 +152,9 @@ def main() -> None:
             lo, hi = int(offs[rel]), int(offs[rel + 1])
             if hi == lo:
                 continue
-            msg = x[src_j[lo:hi]] * norm_j[lo:hi, None]
+            msg = x[src_j[lo:hi]] * norm_j[lo:hi, None].astype(cd)
             agg = jax.ops.segment_sum(msg, dst_j[lo:hi], num_segments=n)
-            out = out + agg @ w[rel]
+            out = out + (agg @ w[rel]).astype(jnp.float32)
         return out
 
     def apply_baseline(p, ed):
@@ -162,6 +175,9 @@ def main() -> None:
         "value": round(edges_per_s, 1),
         "unit": "edges/s/chip",
         "vs_baseline": round(t_base / t_opt, 3),
+        "compute_dtype": dtype_str,
+        "ms_per_step": round(t_opt * 1e3, 2),
+        "baseline_ms_per_step": round(t_base * 1e3, 2),
     }))
 
 

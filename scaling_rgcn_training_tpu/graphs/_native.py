@@ -19,7 +19,30 @@ _TRIED = False
 def _find_lib() -> Optional[str]:
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     cand = os.path.join(here, "native", "build", "libntgraph.so")
+    src = os.path.join(here, "native", "ntgraph.cpp")
+    if not os.path.exists(cand) or (
+            os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(cand)):
+        _build_lib(os.path.join(here, "native"))
     return cand if os.path.exists(cand) else None
+
+
+def _build_lib(native_dir: str) -> None:
+    """Build the .so on demand (once) when a compiler is available, so the
+    native fast path — and its tests — work out of the box."""
+    import shutil
+    import subprocess
+
+    if os.environ.get("RGCN_NO_NATIVE_BUILD") or not os.path.isdir(native_dir):
+        return
+    make = shutil.which("make")
+    if make is None or shutil.which(os.environ.get("CXX", "g++")) is None:
+        return
+    try:
+        subprocess.run([make, "-C", native_dir], check=True, timeout=120,
+                       capture_output=True)
+    except (subprocess.SubprocessError, OSError):
+        pass  # callers fall back to the pure-Python parser
 
 
 def get_lib():

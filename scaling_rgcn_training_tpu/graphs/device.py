@@ -34,8 +34,43 @@ class DeviceGraph(NamedTuple):
         return self.edges.num_nodes
 
 
-def build_device_graph(graph: Graph, pad_to_multiple: int = 512) -> DeviceGraph:
-    """Lower a host ``Graph`` (with training tensors attached) to device arrays."""
+def build_device_graph(graph: Graph, pad_to_multiple: int = 512,
+                       mesh=None, partition: Optional[str] = None) -> DeviceGraph:
+    """Lower a host ``Graph`` (with training tensors attached) to device arrays.
+
+    With ``mesh`` (a ``jax.sharding.Mesh``) and ``partition`` ("edge" or
+    "halo"), the edge list is partitioned across the mesh instead —
+    ``rgcn_conv`` dispatches on the edge pytree type, so models and the
+    trainer run unchanged (the reference is single-device,
+    model/modelTrainer.py:16; this is the TPU-native scaling path).
+    """
+    if mesh is not None and partition:
+        num_shards = mesh.devices.size
+        if partition == "edge":
+            from scaling_rgcn_training_tpu.parallel import (
+                device_put_sharded_edges, shard_rel_edges)
+
+            edges = device_put_sharded_edges(shard_rel_edges(
+                graph.edge_src, graph.edge_dst, graph.edge_type,
+                graph.num_nodes, graph.num_relation_slots, num_shards,
+                pad_to_multiple=pad_to_multiple), mesh)
+        elif partition == "halo":
+            from scaling_rgcn_training_tpu.parallel import (
+                device_put_halo_edges, halo_partition_edges)
+
+            edges = device_put_halo_edges(halo_partition_edges(
+                graph.edge_src, graph.edge_dst, graph.edge_type,
+                graph.num_nodes, graph.num_relation_slots, num_shards,
+                pad_to_multiple=pad_to_multiple), mesh)
+        else:
+            raise ValueError(f"unknown partition {partition!r}")
+        as_dev = lambda a: None if a is None else jnp.asarray(a)
+        return DeviceGraph(
+            edges=edges,
+            x_train=as_dev(graph.x_train), y_train=as_dev(graph.y_train),
+            x_val=as_dev(graph.x_val), y_val=as_dev(graph.y_val),
+            x_test=as_dev(graph.x_test), y_test=as_dev(graph.y_test),
+        )
     edges = build_rel_edges(
         graph.edge_src, graph.edge_dst, graph.edge_type,
         num_nodes=graph.num_nodes,
@@ -52,3 +87,17 @@ def build_device_graph(graph: Graph, pad_to_multiple: int = 512) -> DeviceGraph:
         x_test=as_dev(graph.x_test),
         y_test=as_dev(graph.y_test),
     )
+
+
+def model_num_nodes(dev_graph: DeviceGraph) -> int:
+    """Node-table row count models must allocate for this graph.
+
+    The halo partition pads nodes to ``num_shards * n_per`` so every
+    device owns an equal contiguous range; embeddings/logits carry the
+    phantom rows (they receive no edges and no labels)."""
+    edges = dev_graph.edges
+    if type(edges).__name__ == "HaloShardedEdges":
+        from scaling_rgcn_training_tpu.parallel import padded_num_nodes
+
+        return padded_num_nodes(edges)
+    return edges.num_nodes

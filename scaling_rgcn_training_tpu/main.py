@@ -86,7 +86,12 @@ def run_experiments(configs: Dict[str, Any], org_path: str, sum_path: str,
             weight_d=0.00005, seed=configs.get("seed", 0) * 1000 + j,
             backend=configs.get("backend"),
             num_bases=configs.get("num_bases"), num_blocks=configs.get("num_blocks"),
-            compute_dtype=configs.get("compute_dtype"))
+            compute_dtype=configs.get("compute_dtype"),
+            devices=configs.get("devices"),
+            partition=configs.get("partition") or "halo",
+            ckpt_dir=configs.get("ckpt_dir"),
+            ckpt_every=configs.get("ckpt_every") or 0)
+        trainer.ckpt_tag = j
         if needs_summaries:
             ckpt = configs.get("ckpt_dir")
             if ckpt:
@@ -151,6 +156,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-data_root", type=str, default=None)
     parser.add_argument("-ckpt_dir", type=str, default=None,
                         help="save/resume summary pre-training state here")
+    parser.add_argument("-ckpt_every", type=int, default=0,
+                        help="checkpoint the fine-tune loop every K epochs "
+                             "(with -ckpt_dir); crashed runs resume exactly")
     parser.add_argument("-results_root", type=str, default="./results")
     parser.add_argument("-seed", type=int, default=0)
     parser.add_argument("-backend", type=str, default=None,
@@ -158,6 +166,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-compute_dtype", type=str, default=None,
                         choices=["bfloat16"],
                         help="mixed precision for the conv's edge streams")
+    parser.add_argument("-devices", type=int, default=None,
+                        help="partition training over this many chips "
+                             "(mesh over ICI; 1/None = single device)")
+    parser.add_argument("-partition", type=str, default="halo",
+                        choices=["edge", "halo"],
+                        help="edge: replicated features + psum; halo: "
+                             "node-sharded with all_to_all boundary exchange")
     parser.add_argument("-num_bases", type=int, default=None)
     parser.add_argument("-num_blocks", type=int, default=None)
     parser.add_argument("-synth_entities", type=int, default=2000)

@@ -86,11 +86,10 @@ def _fwd_kernel(offs_ref, code_ref, vals_ref, w_ref, e_ref, g_ref,
         #   out += keyhot^T @ msg   [s, d_out]      write-once scatter
         sub = min(chunk, 512)
         dtype = vals_ref.dtype
-        # the [sub, R*d_out] intermediates are the kernel's VMEM-bandwidth
-        # bound (measured: bf16 inputs with f32 intermediates run at nearly
-        # f32 speed); emit them in the compute dtype — the MXU accumulates
-        # f32 internally either way, and the cross-chunk out_ref stays f32
-        mid = jnp.float32 if dtype == jnp.float32 else dtype
+        # Mosaic requires 32-bit matmul accumulators ('tpu.matmul' acc rule),
+        # so every dot accumulates f32; the [sub, R*d_out] intermediates are
+        # cast back to the compute dtype between dots to keep the kernel's
+        # VMEM-bandwidth bound low in bf16. The cross-chunk out_ref stays f32.
         for q in range(chunk // sub):
             @pl.when(jnp.logical_and(base + q * sub < e_hi,
                                      base + (q + 1) * sub > e_lo))
@@ -102,9 +101,11 @@ def _fwd_kernel(offs_ref, code_ref, vals_ref, w_ref, e_ref, g_ref,
                 rcol = jax.lax.broadcasted_iota(jnp.int32, (sub, slots), 1)
                 relhot = (rel == rcol).astype(dtype)          # [sub, slots]
                 p_all = jax.lax.dot(vals, w_ref[:],
-                                    preferred_element_type=mid)
+                                    preferred_element_type=jnp.float32
+                                    ).astype(dtype)
                 relexp = jax.lax.dot(relhot, e_ref[:],
-                                     preferred_element_type=mid)
+                                     preferred_element_type=jnp.float32
+                                     ).astype(dtype)
                 msg = jax.lax.dot((p_all * relexp).astype(dtype), g_ref[:],
                                   preferred_element_type=jnp.float32
                                   ).astype(dtype)             # [sub, d_out]
@@ -211,10 +212,9 @@ def _bwd_kernel(offs_ref, code_ref, t_ref, x_ref, w_ref, e_ref,
         # the VPU only pays one [sub, R*d_out] elementwise multiply.
         sub = min(chunk, 512)
         dtype = t_ref.dtype
-        # see _fwd_kernel: the [sub, R*d_out] intermediates are the VMEM
-        # bound — emit them in the compute dtype (f32 accumulation is
-        # internal to the MXU and preserved on dW/dx via out_ref dtypes)
-        mid = jnp.float32 if dtype == jnp.float32 else dtype
+        # see _fwd_kernel: every dot accumulates f32 (Mosaic's 32-bit matmul
+        # acc rule); the [sub, R*d_out] intermediates are cast back to the
+        # compute dtype between dots, and dW/dx accumulate f32 via out_ref
         for q in range(chunk // sub):
             @pl.when(jnp.logical_and(base + q * sub < e_hi,
                                      base + (q + 1) * sub > e_lo))
@@ -234,9 +234,11 @@ def _bwd_kernel(offs_ref, code_ref, t_ref, x_ref, w_ref, e_ref,
                                  preferred_element_type=jnp.float32)
                 xs = xs.astype(dtype)                         # [sub, d_in]
                 relexp = jax.lax.dot(relhot, e_ref[:],
-                                     preferred_element_type=mid)
+                                     preferred_element_type=jnp.float32
+                                     ).astype(dtype)
                 texp = jax.lax.dot(t, tt_ref[:],
-                                   preferred_element_type=mid)
+                                   preferred_element_type=jnp.float32
+                                   ).astype(dtype)
                 m_exp = (relexp * texp).astype(dtype)         # [sub, R*d_out]
                 dmsg = jax.lax.dot(m_exp, w_ref[:],
                                    preferred_element_type=jnp.float32)

@@ -42,7 +42,8 @@ def _hashable_mask(mask):
 
 @functools.lru_cache(maxsize=64)
 def _cached_fit_fn(apply_fn, loss_fn, activation, sum_graph, epochs,
-                   lr, weight_d, mask_key, backend, compute_dtype=None):
+                   lr, weight_d, mask_key, backend, compute_dtype=None,
+                   mesh=None):
     """One jitted whole-training scan per static configuration.
 
     The reference re-instantiates everything per iteration (main.py:49-52),
@@ -93,7 +94,11 @@ class Trainer:
                  lr: float, weight_d: float, seed: int = 0,
                  backend: Optional[str] = None, num_bases: Optional[int] = None,
                  num_blocks: Optional[int] = None,
-                 compute_dtype: Optional[str] = None) -> None:
+                 compute_dtype: Optional[str] = None,
+                 devices: Optional[int] = None,
+                 partition: str = "halo",
+                 ckpt_dir: Optional[str] = None,
+                 ckpt_every: int = 0) -> None:
         self.data = data
         self.hidden_l = hidden_l
         self.epochs = epochs
@@ -105,6 +110,22 @@ class Trainer:
         self.num_blocks = num_blocks
         # mixed precision for the conv's edge streams ("bfloat16" | None)
         self.compute_dtype = compute_dtype
+        # distribution: partition edges over `devices` chips ("edge" psum
+        # path or "halo" node-partitioned all_to_all path); models run
+        # unchanged via rgcn_conv's dispatch on the edge pytree type
+        self.partition = partition if devices and devices > 1 else None
+        self.mesh = None
+        if devices and devices > 1:
+            from scaling_rgcn_training_tpu.parallel import make_mesh
+
+            self.mesh = make_mesh(devices)
+        # mid-training checkpoint/resume: every `ckpt_every` epochs the fit
+        # loop persists params + optimizer state + rng + metric series under
+        # ckpt_dir and resumes from there after a crash (SURVEY.md §5 —
+        # greenfield; the reference loses the run on crash)
+        self.ckpt_dir = ckpt_dir
+        self.ckpt_every = ckpt_every
+        self.ckpt_tag = ""              # set per iteration by the driver
         self.rng = jax.random.key(seed)
         self.sum_params = None          # trained summary model (EmbModelParams)
         self._device_graphs: Dict[int, DeviceGraph] = {}
@@ -118,28 +139,68 @@ class Trainer:
     def _device_graph(self, graph: Graph) -> DeviceGraph:
         key = id(graph)
         if key not in self._device_graphs:
-            self._device_graphs[key] = build_device_graph(graph)
+            self._device_graphs[key] = build_device_graph(
+                graph, mesh=self.mesh, partition=self.partition)
         return self._device_graphs[key]
+
+    def _mesh_scope(self):
+        if self.mesh is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        from scaling_rgcn_training_tpu.parallel import use_mesh
+
+        return use_mesh(self.mesh)
+
+    def _pad_embedding(self, emb: jnp.ndarray, dev_graph: DeviceGraph,
+                       true_n: int) -> jnp.ndarray:
+        """Pad the node axis to the halo partition's S*n_per table size.
+
+        Node axis is -2 for stacked [K, N, d] embeddings, else 0."""
+        from scaling_rgcn_training_tpu.graphs.device import model_num_nodes
+
+        n_model = model_num_nodes(dev_graph)
+        axis = emb.ndim - 2 if emb.ndim == 3 else 0
+        extra = n_model - emb.shape[axis]
+        if extra <= 0:
+            return emb
+        pad = [(0, 0)] * emb.ndim
+        pad[axis] = (0, extra)
+        return jnp.pad(emb, pad)
 
     # -- core epoch loop (modelTrainer.py:41-74) ---------------------------
 
     def fit(self, params: Any, apply_fn: Callable, graph: DeviceGraph,
             loss_fn: Callable, activation: str, sum_graph: bool = True,
             mask: Any = None, verbose: bool = True,
+            ckpt_path: Optional[str] = None,
             ) -> Tuple[Any, List[float], List[float], List[float], List[float]]:
         """The whole training run is ONE jitted ``lax.scan`` over epochs —
         a single device dispatch instead of one per epoch (the reference's
         Python epoch loop, modelTrainer.py:51-72, dispatches every op).
-        Per-epoch metric series come back as device arrays."""
+        Per-epoch metric series come back as device arrays.
+
+        With ``ckpt_path`` (and ``ckpt_every`` > 0) the scan runs in
+        ``ckpt_every``-epoch segments, persisting params + optimizer state +
+        rng + metric series after each; an existing checkpoint resumes the
+        run mid-training with bitwise-identical trajectory (the rng carry is
+        checkpointed too)."""
         optimizer = make_optimizer(self.lr, self.weight_d)
         opt_state = optimizer.init(params)
         rng0 = self._next_rng()
-        run = _cached_fit_fn(
-            apply_fn, loss_fn, activation, sum_graph, self.epochs,
-            self.lr, self.weight_d, _hashable_mask(mask), self.backend,
-            self.compute_dtype)
-        (params, _, _), (losses, accs, f1_ws, f1_ms) = run(
-            params, opt_state, rng0, graph)
+        every = self.ckpt_every if (ckpt_path and self.ckpt_every > 0) else 0
+        if every:
+            params, losses, accs, f1_ws, f1_ms = self._fit_chunked(
+                params, opt_state, rng0, apply_fn, graph, loss_fn, activation,
+                sum_graph, mask, ckpt_path, every)
+        else:
+            run = _cached_fit_fn(
+                apply_fn, loss_fn, activation, sum_graph, self.epochs,
+                self.lr, self.weight_d, _hashable_mask(mask), self.backend,
+                self.compute_dtype, self.mesh)
+            with self._mesh_scope():  # ambient mesh for rgcn_conv's dispatch
+                (params, _, _), (losses, accs, f1_ws, f1_ms) = run(
+                    params, opt_state, rng0, graph)
         losses = [float(v) for v in np.asarray(losses)]
         if sum_graph:
             accs_l: List[float] = []
@@ -158,6 +219,59 @@ class Trainer:
 
         return params, accs_l, losses, f1w_l, f1m_l
 
+    def _fit_chunked(self, params, opt_state, rng, apply_fn, graph, loss_fn,
+                     activation, sum_graph, mask, ckpt_path, every):
+        """Run the epoch scan in ``every``-epoch segments with a checkpoint
+        after each; resume from an existing checkpoint file."""
+        import json
+        import os
+
+        from scaling_rgcn_training_tpu.utils.checkpoint import (
+            load_checkpoint, save_checkpoint)
+
+        series = [np.zeros(0, np.float32) for _ in range(4)]
+        start = 0
+        src = ckpt_path if ckpt_path.endswith(".npz") else ckpt_path + ".npz"
+        if os.path.exists(src):
+            state_tpl = (opt_state, jax.random.key_data(rng))
+            params, (opt_state, key_data), start = load_checkpoint(
+                ckpt_path, params, state_tpl)
+            rng = jax.random.wrap_key_data(np.asarray(key_data))
+            with open(src + ".meta.json") as fh:
+                meta = json.load(fh)
+            series = [np.asarray(meta["series"][k], np.float32)
+                      for k in ("loss", "acc", "f1w", "f1m")]
+
+        done = start
+        while done < self.epochs:
+            chunk = min(every, self.epochs - done)
+            run = _cached_fit_fn(
+                apply_fn, loss_fn, activation, sum_graph, chunk,
+                self.lr, self.weight_d, _hashable_mask(mask), self.backend,
+                self.compute_dtype, self.mesh)
+            with self._mesh_scope():
+                (params, opt_state, rng), chunk_series = run(
+                    params, opt_state, rng, graph)
+            series = [np.concatenate([s, np.asarray(c, np.float32)])
+                      for s, c in zip(series, chunk_series)]
+            done += chunk
+            save_checkpoint(
+                ckpt_path, params, (opt_state, jax.random.key_data(rng)),
+                epoch=done,
+                extra={"series": {
+                    "loss": series[0].tolist(), "acc": series[1].tolist(),
+                    "f1w": series[2].tolist(), "f1m": series[3].tolist()}})
+        return params, series[0][:self.epochs], series[1][:self.epochs], \
+            series[2][:self.epochs], series[3][:self.epochs]
+
+    def _ckpt_path(self, stage: str) -> Optional[str]:
+        if not (self.ckpt_dir and self.ckpt_every > 0):
+            return None
+        import os
+
+        tag = f"_{self.ckpt_tag}" if self.ckpt_tag != "" else ""
+        return os.path.join(self.ckpt_dir, f"fit_{stage}{tag}.npz")
+
     # -- summary pre-training (modelTrainer.py:76-82) ----------------------
 
     def train_summaries(self, configs: Dict[str, Any], verbose: bool = True,
@@ -169,15 +283,21 @@ class Trainer:
             self.data.num_classes, sg0.num_nodes, self.emb_dim,
             num_sums=len(self.data.sumGraphs),
             num_bases=self.num_bases, num_blocks=self.num_blocks)
+        from scaling_rgcn_training_tpu.graphs.device import model_num_nodes
+
         for sg in self.data.sumGraphs:
+            dg = self._device_graph(sg)
             # re-init the embedding for this summary's node count, keep trunk
             params = params._replace(
                 embedding=jax.random.normal(
-                    self._next_rng(), (sg.num_nodes, self.emb_dim), jnp.float32))
+                    self._next_rng(), (model_num_nodes(dg), self.emb_dim),
+                    jnp.float32))
             params, *_ = self.fit(
-                params, model_heads.apply_emb_model, self._device_graph(sg),
+                params, model_heads.apply_emb_model, dg,
                 loss_fn, activation, sum_graph=True, verbose=verbose)
-            sg.embedding = np.asarray(params.embedding)
+            # drop halo-partition phantom rows before recording (transfer
+            # tricks index true node ids only)
+            sg.embedding = np.asarray(params.embedding)[:sg.num_nodes]
         self.sum_params = params
         if save_path:
             from scaling_rgcn_training_tpu.utils.checkpoint import save_transfer_state
@@ -228,12 +348,15 @@ class Trainer:
                        verbose: bool = True) -> Dict[str, Any]:
         from scaling_rgcn_training_tpu.train.transfer import EMBEDDING_TRICKS
 
+        from scaling_rgcn_training_tpu.graphs.device import model_num_nodes
+
         og = self.data.orgGraph
+        dev_graph = self._device_graph(og)
         init_fn, apply_fn = model_heads.HEADS[head]
         num_sums = configs.get("num_sums", 1)
         params = init_fn(
             self._next_rng(), og.num_relation_slots, self.hidden_l,
-            self.data.num_classes, og.num_nodes, self.emb_dim,
+            self.data.num_classes, model_num_nodes(dev_graph), self.emb_dim,
             num_sums=num_sums, num_bases=self.num_bases, num_blocks=self.num_blocks)
 
         mask = jax.tree_util.tree_map(lambda _: True, params)
@@ -241,6 +364,7 @@ class Trainer:
         if exp != "baseline" and configs.get("e_trans", False):
             trick = EMBEDDING_TRICKS[head]
             embedding = trick(og, self.data.sumGraphs, self.emb_dim, self._next_rng())
+            embedding = self._pad_embedding(embedding, dev_graph, og.num_nodes)
             params = params._replace(embedding=embedding)
             if configs.get("e_freeze", True):
                 mask = mask._replace(embedding=False)
@@ -257,13 +381,13 @@ class Trainer:
                 print("weight transfer done")
 
         loss_fn, activation = get_loss(configs["dataset"], sum_model=False)
-        dev_graph = self._device_graph(og)
 
         if verbose:
             print("Training on Orginal Graph...")
         params, accs, losses, f1_ws, f1_ms = self.fit(
             params, apply_fn, dev_graph, loss_fn, activation,
-            sum_graph=False, mask=mask, verbose=verbose)
+            sum_graph=False, mask=mask, verbose=verbose,
+            ckpt_path=self._ckpt_path(f"{configs['dataset']}_{exp}"))
 
         test_acc, test_f1_w, test_f1_m = self.evaluate_test(
             params, apply_fn, dev_graph, activation, report=verbose)
@@ -279,8 +403,9 @@ class Trainer:
 
     def evaluate_test(self, params, apply_fn, graph: DeviceGraph,
                       activation: str, report: bool = False) -> Tuple[float, float, float]:
-        logits = apply_fn(params, graph.edges, train=False, backend=self.backend,
-                          compute_dtype=self.compute_dtype)
+        with self._mesh_scope():
+            logits = apply_fn(params, graph.edges, train=False, backend=self.backend,
+                              compute_dtype=self.compute_dtype)
         acc, f1_w, f1_m = evaluate(logits, graph.x_test, graph.y_test, activation)
         if report:
             from sklearn.metrics import classification_report

@@ -18,8 +18,8 @@ def check_sum_map_files(sum_path: str, map_path: str) -> List[str]:
     map_files = [f for f in os.listdir(map_path)
                  if not f.startswith(".") and os.path.isfile(os.path.join(map_path, f))]
     assert len(sum_files) == len(map_files), (
-        f"for every summary file there needs to be a map file. \n "
-        f"{len(sum_files)} sum files found and {len(map_files)} map files found")
+        f"summary/map files must pair up 1:1, but {sum_path} has "
+        f"{len(sum_files)} summaries while {map_path} has {len(map_files)} maps")
     return sum_files
 
 
@@ -28,8 +28,8 @@ def check_emb_dim(configs: Dict, num_sum_files: int) -> Dict:
     new_emb = round(emb_dim / num_sum_files) * num_sum_files
     configs["emb"] = new_emb
     if new_emb != emb_dim:
-        print(f"updated embedding dimension for attention experiment: "
-              f"new emb_dim is {new_emb}, was {emb_dim}")
+        print(f"emb_dim {emb_dim} -> {new_emb}: rounded to a multiple of the "
+              f"{num_sum_files} summaries so attention heads divide evenly")
     return configs
 
 

@@ -109,3 +109,51 @@ def test_trainer_summary_checkpoint_roundtrip(tmp_path, ref_graphs_dir):
     # the resumed trainer can run the fine-tune stage
     res = t2.train_original("summation", configs, "summation", verbose=False)
     assert 0.0 <= res["test_acc"] <= 1.0
+
+
+def _fit_trainer(tmp_path, epochs, ckpt_every, interrupt_after=None, seed=4):
+    """Trainer.fit through the chunked-checkpoint path on a tiny graph."""
+    import os
+
+    from scaling_rgcn_training_tpu.graphs.synthetic import ensure_synthetic_dataset
+    from scaling_rgcn_training_tpu.graphs.dataset import Dataset
+    from scaling_rgcn_training_tpu.train.trainer import Trainer
+
+    root = os.path.join(str(tmp_path), "graphs")
+    ensure_synthetic_dataset(root, name="SYNTH", num_entities=150,
+                             num_relations=4, num_classes=3, avg_degree=4.0,
+                             seed=seed)
+    ds = os.path.join(root, "SYNTH")
+    data = Dataset(os.path.join(ds, "SYNTH_complete.nt"),
+                   os.path.join(ds, "attr", "sum"),
+                   os.path.join(ds, "attr", "map")).init_dataset()
+    trainer = Trainer(data, hidden_l=6, epochs=epochs, weight_d=5e-5,
+                      emb_dim=8, lr=0.01, seed=0, backend="gather",
+                      ckpt_dir=str(tmp_path / "ck"), ckpt_every=ckpt_every)
+    if interrupt_after is not None:
+        # simulate the crash: stop the chunk loop after N epochs by
+        # training a truncated-epochs twin that shares the checkpoint path
+        trainer.epochs = interrupt_after
+    cfg = {"dataset": "SYNTH", "e_trans": False, "w_trans": False,
+           "num_sums": 1}
+    return trainer, cfg
+
+
+def test_fit_resume_matches_unbroken_run(tmp_path):
+    """Kill mid-training (after 4 of 10 epochs), resume, and match the
+    unbroken run's final metrics exactly (rng carry is checkpointed)."""
+    # unbroken 10-epoch run (no checkpointing at all)
+    t_full, cfg = _fit_trainer(tmp_path / "a", epochs=10, ckpt_every=0)
+    res_full = t_full.train_original("summation", cfg, "baseline", verbose=False)
+
+    # interrupted run: chunked every 2 epochs, "crashes" at epoch 4
+    t_part, cfg = _fit_trainer(tmp_path / "b", epochs=10, ckpt_every=2,
+                               interrupt_after=4)
+    t_part.train_original("summation", cfg, "baseline", verbose=False)
+    # resume: same ckpt_dir, full epoch budget
+    t_res, cfg = _fit_trainer(tmp_path / "b", epochs=10, ckpt_every=2)
+    res_res = t_res.train_original("summation", cfg, "baseline", verbose=False)
+
+    np.testing.assert_allclose(res_res["loss"], res_full["loss"],
+                               rtol=1e-5, atol=1e-6)
+    assert res_res["test_acc"] == res_full["test_acc"]

@@ -1,0 +1,84 @@
+"""End-to-end distributed training through the CLI/Trainer surface.
+
+The reference workflow (reference main.py:74-103) on >1 chip: the Trainer
+builds a mesh + partitioned edges and the full pipeline (summary
+pre-training, transfer, fine-tune, eval) runs over the 8 virtual CPU
+devices — the same path `python -m scaling_rgcn_training_tpu.main
+-dataset SYNTH -devices 8` takes.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from scaling_rgcn_training_tpu.graphs.dataset import Dataset
+from scaling_rgcn_training_tpu.graphs.synthetic import ensure_synthetic_dataset
+from scaling_rgcn_training_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def synth_data(tmp_path_factory):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    root = str(tmp_path_factory.mktemp("graphs"))
+    ensure_synthetic_dataset(root, name="SYNTH", num_entities=300,
+                             num_relations=5, num_classes=3, avg_degree=4.0,
+                             seed=3)
+    ds_dir = os.path.join(root, "SYNTH")
+    return Dataset(os.path.join(ds_dir, "SYNTH_complete.nt"),
+                   os.path.join(ds_dir, "attr", "sum"),
+                   os.path.join(ds_dir, "attr", "map")).init_dataset()
+
+
+CONFIGS = {"dataset": "SYNTH", "e_trans": True, "e_freeze": True,
+           "w_trans": True, "w_grad": True, "num_sums": 1}
+
+
+@pytest.mark.parametrize("partition", ["edge", "halo"])
+def test_trainer_distributed_end_to_end(synth_data, partition):
+    trainer = Trainer(synth_data, hidden_l=8, epochs=6, emb_dim=8, lr=0.01,
+                      weight_d=5e-5, seed=0, backend="gather",
+                      devices=8, partition=partition)
+    trainer.train_summaries(CONFIGS, verbose=False)
+    res = trainer.train_original("summation", CONFIGS, "summation",
+                                 verbose=False)
+    assert np.isfinite(res["loss"]).all()
+    assert res["loss"][-1] < res["loss"][0]
+    assert 0.0 <= res["test_acc"] <= 1.0
+
+
+def test_distributed_matches_single_device(synth_data):
+    """Same seed, same data: the 8-device halo run's loss curve tracks the
+    single-device run (identical math, distributed dataflow)."""
+    kw = dict(hidden_l=8, epochs=6, emb_dim=8, lr=0.01, weight_d=5e-5,
+              seed=0, backend="gather")
+    res1 = Trainer(synth_data, **kw).train_original(
+        "summation", {**CONFIGS, "e_trans": False, "w_trans": False},
+        "baseline", verbose=False)
+    res8 = Trainer(synth_data, **kw, devices=8, partition="halo").train_original(
+        "summation", {**CONFIGS, "e_trans": False, "w_trans": False},
+        "baseline", verbose=False)
+    np.testing.assert_allclose(res1["loss"], res8["loss"], rtol=2e-3, atol=2e-4)
+
+
+def test_cli_devices_flag(synth_data, tmp_path):
+    """The experiment driver runs distributed end-to-end (VERDICT #4)."""
+    from scaling_rgcn_training_tpu.main import build_parser, resolve_paths, run_experiments
+
+    root = str(tmp_path / "graphs")
+    configs = vars(build_parser().parse_args(
+        ["-dataset", "SYNTH", "-exp", "baseline", "-epochs", "3", "-i", "1",
+         "-emb", "8", "-hl", "8", "-devices", "8", "-partition", "halo",
+         "-backend", "gather", "-data_root", root,
+         "-results_root", str(tmp_path / "results"),
+         "-synth_entities", "200", "-synth_relations", "4",
+         "-synth_classes", "3"]))
+    paths = resolve_paths(configs)
+    run_experiments(configs, paths["org"], paths["sum"], paths["map"])
+    runs = list((tmp_path / "results").glob("**/report_*.json"))
+    assert runs, "distributed CLI run produced no report"
+    report = json.loads(runs[0].read_text())
+    assert "baseline" in json.dumps(report)

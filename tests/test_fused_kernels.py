@@ -41,11 +41,15 @@ def _random_graph(rng, n, e, slots, pad=256):
     return src, dst, rel, norm
 
 
+@pytest.mark.parametrize("dtype,rtol,atol", [
+    (jnp.float32, 2e-4, 2e-4),
+    (jnp.bfloat16, 3e-2, 3e-2),  # mixed precision: bf16 streams, f32 acc
+])
 @pytest.mark.parametrize("n,e,slots,d_in,d_out", [
     (300, 2000, 7, 16, 8),
     (100, 500, 3, 8, 16),   # hub-heavy small table
 ])
-def test_rel_matmul_scatter(n, e, slots, d_in, d_out):
+def test_rel_matmul_scatter(n, e, slots, d_in, d_out, dtype, rtol, atol):
     rng = np.random.default_rng(n + e)
     src, dst, rel, norm = _random_graph(rng, n, e, slots)
     x = rng.standard_normal((n, d_in)).astype(np.float32)
@@ -55,20 +59,26 @@ def test_rel_matmul_scatter(n, e, slots, d_in, d_out):
     keys = dst[order]
     plan = plan_segmented_reduce(keys, n, bucket_rows=64, chunk=128)
     vals = x[src[order]] * norm[order][:, None]
-    out = rel_matmul_scatter(jnp.asarray(vals), jnp.asarray(rel[order]),
-                             jnp.asarray(keys), plan, jnp.asarray(w))
+    out = rel_matmul_scatter(jnp.asarray(vals, dtype), jnp.asarray(rel[order]),
+                             jnp.asarray(keys), plan, jnp.asarray(w, dtype))
+    assert out.dtype == jnp.float32  # cross-chunk accumulator stays f32
 
     msg = np.einsum("ed,edo->eo", x[src] * norm[:, None], w[rel])
     ref = np.zeros((n, d_out), np.float32)
     np.add.at(ref, dst, msg)
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=rtol,
+                               atol=atol * np.abs(ref).max())
 
 
+@pytest.mark.parametrize("dtype,rtol,atol", [
+    (jnp.float32, 2e-4, 2e-4),
+    (jnp.bfloat16, 3e-2, 3e-2),
+])
 @pytest.mark.parametrize("n,e,slots,d_in,d_out", [
     (300, 2000, 7, 16, 8),
     (64, 700, 5, 32, 8),
 ])
-def test_rel_backward_scatter(n, e, slots, d_in, d_out):
+def test_rel_backward_scatter(n, e, slots, d_in, d_out, dtype, rtol, atol):
     rng = np.random.default_rng(2 * n + e)
     src, dst, rel, norm = _random_graph(rng, n, e, slots)
     x = rng.standard_normal((n, d_in)).astype(np.float32)
@@ -79,9 +89,10 @@ def test_rel_backward_scatter(n, e, slots, d_in, d_out):
     keys = src[order]
     plan = plan_segmented_reduce(keys, n, bucket_rows=64, chunk=128)
     t = g_out[dst[order]] * norm[order][:, None]
-    dx, dw = rel_backward_scatter(jnp.asarray(t), jnp.asarray(rel[order]),
+    dx, dw = rel_backward_scatter(jnp.asarray(t, dtype), jnp.asarray(rel[order]),
                                   jnp.asarray(keys), plan,
-                                  jnp.asarray(x), jnp.asarray(w))
+                                  jnp.asarray(x, dtype), jnp.asarray(w, dtype))
+    assert dx.dtype == jnp.float32 and dw.dtype == jnp.float32
 
     t_ref = g_out[dst] * norm[:, None]                      # [E, d_out]
     dmsg = np.einsum("eo,edo->ed", t_ref, w[rel])           # [E, d_in]
@@ -89,8 +100,10 @@ def test_rel_backward_scatter(n, e, slots, d_in, d_out):
     np.add.at(dx_ref, src, dmsg)
     dw_ref = np.zeros_like(w)
     np.add.at(dw_ref, rel, x[src][:, :, None] * t_ref[:, None, :])
-    np.testing.assert_allclose(np.asarray(dx), dx_ref, rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(dw), dw_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dx), dx_ref, rtol=rtol,
+                               atol=atol * np.abs(dx_ref).max())
+    np.testing.assert_allclose(np.asarray(dw), dw_ref, rtol=rtol,
+                               atol=atol * np.abs(dw_ref).max())
 
 
 def test_fused_matches_aggregate_grads():
