@@ -1,4 +1,4 @@
-"""Node-partitioned R-GCN aggregation with halo exchange (all_to_all).
+"""Node-partitioned R-GCN aggregation with overlapped halo exchange.
 
 The edge-partition path (parallel/spmd.py) replicates features and
 all-reduces full [N, h] partials — O(N) ICI traffic per layer regardless
@@ -10,20 +10,30 @@ boundary ("halo") source features a device actually reads, via one
 O(E/S + halo) instead of O(N), and both activations and outputs stay
 node-sharded end to end — no replicated [N, h] tensor ever materializes.
 
+Compute/communication overlap: each shard's edge list is split into an
+OWNER-LOCAL segment (src owned by the same shard — the vast majority on a
+well-partitioned graph) and a HALO segment (src remote). The local
+aggregation consumes only ``x_own`` and therefore has no data dependence
+on the all_to_all; XLA's async-collective scheduler issues the exchange
+as a collective-start, runs the local grouped-matmul + segment-sum while
+rows fly over ICI, and joins at the collective-done only for the (small)
+halo segment. No manual double-buffering needed — the dataflow is what
+unlocks the overlap.
+
 Layout (host-side, static per graph — built once by
 :func:`halo_partition_edges`):
 
 - nodes padded to ``S * n_per``; device ``s`` owns rows
   ``[s*n_per, (s+1)*n_per)``;
-- each edge lives on the owner of its ``dst``; per-shard edge lists are
-  (relation, dst)-sorted and padded to a common static length, so the
-  grouped matmul sees relation-contiguous rows exactly like the
-  single-chip layout (ops/rgcn_conv.py);
+- each edge lives on the owner of its ``dst``; the two per-shard edge
+  segments are each (relation, dst)-sorted and padded to common static
+  lengths, so the grouped matmuls see relation-contiguous rows exactly
+  like the single-chip layout (ops/rgcn_conv.py);
 - for every (reader s, owner p) pair the sorted unique remote sources
   are precomputed: ``send_idx[p, s]`` are owner-local rows p must ship
-  to s, and readers address the received rows through a *local* source
-  index ``lsrc`` into ``[x_own ; halo]`` — so at runtime the exchange is
-  one gather + one all_to_all, with zero index arithmetic on device.
+  to s; halo-segment edges address the received ``[S*H, d]`` buffer
+  through ``hsrc`` — at runtime the exchange is one gather + one
+  all_to_all, with zero index arithmetic on device.
 
 The per-(relation, dst) mean normalization is computed globally before
 partitioning (dst-ownership keeps every (rel, dst) group on one shard, so
@@ -51,16 +61,22 @@ from scaling_rgcn_training_tpu.parallel.mesh import EDGE_AXIS
 class HaloShardedEdges(NamedTuple):
     """Static per-graph plan for node-partitioned execution.
 
-    Leading axis of every array is the shard axis ``S``. ``lsrc`` indexes
-    the per-device combined table ``[x_own (n_per rows) ; halo (S*H
-    rows)]``; ``ldst`` is the owner-local destination row. Padding edge
-    rows carry ``norm = 0`` and live in the final relation slot.
+    Leading axis of every array is the shard axis ``S``. The owner-local
+    segment (``lsrc``/``ldst``/``lnorm``/``lgs``) indexes ``x_own``
+    directly; the halo segment (``hsrc``/``hdst``/``hnorm``/``hgs``)
+    indexes the received ``[S*H, d]`` halo buffer. ``*dst`` are owner-local
+    destination rows. Padding edge rows carry ``norm = 0`` and live in the
+    final relation slot of their segment.
     """
 
-    lsrc: jnp.ndarray          # int32 [S, E_shard]
-    ldst: jnp.ndarray          # int32 [S, E_shard]
-    norm: jnp.ndarray          # float32 [S, E_shard]
-    group_sizes: jnp.ndarray   # int32 [S, num_slots]
+    lsrc: jnp.ndarray          # int32 [S, E_loc]   into x_own
+    ldst: jnp.ndarray          # int32 [S, E_loc]
+    lnorm: jnp.ndarray         # float32 [S, E_loc]
+    lgs: jnp.ndarray           # int32 [S, num_slots]
+    hsrc: jnp.ndarray          # int32 [S, E_halo]  into the halo buffer
+    hdst: jnp.ndarray          # int32 [S, E_halo]
+    hnorm: jnp.ndarray         # float32 [S, E_halo]
+    hgs: jnp.ndarray           # int32 [S, num_slots]
     send_idx: jnp.ndarray      # int32 [S, S, H] owner-local rows to ship
     num_nodes: int             # true N (pre-padding)
     n_per: int                 # owned rows per device
@@ -70,11 +86,27 @@ class HaloShardedEdges(NamedTuple):
 
 jax.tree_util.register_pytree_node(
     HaloShardedEdges,
-    lambda e: ((e.lsrc, e.ldst, e.norm, e.group_sizes, e.send_idx),
+    lambda e: ((e.lsrc, e.ldst, e.lnorm, e.lgs,
+                e.hsrc, e.hdst, e.hnorm, e.hgs, e.send_idx),
                (e.num_nodes, e.n_per, e.halo, e.num_shards)),
     lambda aux, ch: HaloShardedEdges(*ch, num_nodes=aux[0], n_per=aux[1],
                                      halo=aux[2], num_shards=aux[3]),
 )
+
+
+def _sorted_padded_segment(src, dst, typ, norm, num_slots, pad_len):
+    """(relation, dst)-sort one edge segment and pad to ``pad_len`` rows."""
+    order = np.lexsort((dst, typ))
+    ne = len(src)
+    o_src = np.zeros(pad_len, np.int32)
+    o_dst = np.zeros(pad_len, np.int32)
+    o_norm = np.zeros(pad_len, np.float32)
+    o_src[:ne] = src[order]
+    o_dst[:ne] = dst[order]
+    o_norm[:ne] = norm[order]
+    gs = np.bincount(typ, minlength=num_slots).astype(np.int32)
+    gs[num_slots - 1] += pad_len - ne          # padding rows -> empty slot
+    return o_src, o_dst, o_norm, gs
 
 
 def halo_partition_edges(
@@ -101,63 +133,67 @@ def halo_partition_edges(
     norm_all = (1.0 / counts[inv]).astype(np.float32)
 
     owner = edge_dst // n_per
-    # per-(reader, owner-of-src) unique remote sources
     need = [[None] * s_n for _ in range(s_n)]
-    shard_edges = []
+    shards = []
     for s in range(s_n):
         m = owner == s
         src_s, dst_s, typ_s, norm_s = (edge_src[m], edge_dst[m],
                                        edge_type[m], norm_all[m])
-        order = np.lexsort((dst_s, typ_s))
-        src_s, dst_s, typ_s, norm_s = (src_s[order], dst_s[order],
-                                       typ_s[order], norm_s[order])
-        shard_edges.append((src_s, dst_s, typ_s, norm_s))
         src_owner = src_s // n_per
+        own = src_owner == s
+        shards.append((src_s, dst_s, typ_s, norm_s, src_owner, own))
         for p in range(s_n):
-            remote = np.unique(src_s[src_owner == p]) if p != s else \
+            need[s][p] = np.unique(src_s[src_owner == p]) if p != s else \
                 np.empty(0, np.int64)
-            need[s][p] = remote
 
     h = max((len(need[s][p]) for s in range(s_n) for p in range(s_n)),
             default=0)
     h = max(halo_multiple, -(-h // halo_multiple) * halo_multiple)
 
-    e_shard = max(len(se[0]) for se in shard_edges)
-    e_shard = max(pad_to_multiple,
-                  -(-e_shard // pad_to_multiple) * pad_to_multiple)
+    pad = lambda ne: max(pad_to_multiple,
+                         -(-ne // pad_to_multiple) * pad_to_multiple)
+    e_loc = pad(max(int(sh[5].sum()) for sh in shards))
+    e_halo = pad(max(len(sh[0]) - int(sh[5].sum()) for sh in shards))
 
-    lsrc = np.zeros((s_n, e_shard), np.int32)
-    ldst = np.zeros((s_n, e_shard), np.int32)
-    norm = np.zeros((s_n, e_shard), np.float32)
-    gs = np.zeros((s_n, num_slots), np.int32)
+    lsrc = np.zeros((s_n, e_loc), np.int32)
+    ldst = np.zeros((s_n, e_loc), np.int32)
+    lnorm = np.zeros((s_n, e_loc), np.float32)
+    lgs = np.zeros((s_n, num_slots), np.int32)
+    hsrc = np.zeros((s_n, e_halo), np.int32)
+    hdst = np.zeros((s_n, e_halo), np.int32)
+    hnorm = np.zeros((s_n, e_halo), np.float32)
+    hgs = np.zeros((s_n, num_slots), np.int32)
     send_idx = np.zeros((s_n, s_n, h), np.int32)
 
     for s in range(s_n):
-        src_s, dst_s, typ_s, norm_s = shard_edges[s]
-        ne = len(src_s)
-        # local index space: [own rows (n_per) ; halo rows (S*H)]
-        loc = np.empty(ne, np.int64)
-        src_owner = src_s // n_per
-        own = src_owner == s
-        loc[own] = src_s[own] - s * n_per
+        src_s, dst_s, typ_s, norm_s, src_owner, own = shards[s]
+        # owner-local segment: src indexes x_own directly
+        lsrc[s], ldst[s], lnorm[s], lgs[s] = _sorted_padded_segment(
+            (src_s[own] - s * n_per).astype(np.int32),
+            (dst_s[own] - s * n_per).astype(np.int32),
+            typ_s[own], norm_s[own], num_slots, e_loc)
+        # halo segment: src indexes the received [S*H] buffer at p*H + pos
+        rem = ~own
+        loc = np.zeros(int(rem.sum()), np.int32)
+        r_src, r_owner = src_s[rem], src_owner[rem]
         for p in range(s_n):
             if p == s:
                 continue
             ids = need[s][p]                     # sorted unique remote srcs
             send_idx[p, s, :len(ids)] = ids - p * n_per
-            sel = src_owner == p
+            sel = r_owner == p
             if sel.any():
-                pos = np.searchsorted(ids, src_s[sel])
-                loc[sel] = n_per + p * h + pos
-        lsrc[s, :ne] = loc
-        ldst[s, :ne] = dst_s - s * n_per
-        norm[s, :ne] = norm_s
-        gs[s] = np.bincount(typ_s, minlength=num_slots)
-        gs[s, num_slots - 1] += e_shard - ne     # padding rows -> empty slot
+                loc[sel] = p * h + np.searchsorted(ids, r_src[sel])
+        hsrc[s], hdst[s], hnorm[s], hgs[s] = _sorted_padded_segment(
+            loc, (dst_s[rem] - s * n_per).astype(np.int32),
+            typ_s[rem], norm_s[rem], num_slots, e_halo)
 
     return HaloShardedEdges(
-        lsrc=jnp.asarray(lsrc), ldst=jnp.asarray(ldst), norm=jnp.asarray(norm),
-        group_sizes=jnp.asarray(gs), send_idx=jnp.asarray(send_idx),
+        lsrc=jnp.asarray(lsrc), ldst=jnp.asarray(ldst),
+        lnorm=jnp.asarray(lnorm), lgs=jnp.asarray(lgs),
+        hsrc=jnp.asarray(hsrc), hdst=jnp.asarray(hdst),
+        hnorm=jnp.asarray(hnorm), hgs=jnp.asarray(hgs),
+        send_idx=jnp.asarray(send_idx),
         num_nodes=int(num_nodes), n_per=int(n_per), halo=int(h),
         num_shards=int(s_n))
 
@@ -181,8 +217,10 @@ def device_put_halo_edges(edges: HaloShardedEdges, mesh: Mesh) -> HaloShardedEdg
             a, NamedSharding(mesh, P(EDGE_AXIS, *([None] * (a.ndim - 1)))))
 
     return HaloShardedEdges(
-        lsrc=put(edges.lsrc), ldst=put(edges.ldst), norm=put(edges.norm),
-        group_sizes=put(edges.group_sizes), send_idx=put(edges.send_idx),
+        lsrc=put(edges.lsrc), ldst=put(edges.ldst), lnorm=put(edges.lnorm),
+        lgs=put(edges.lgs), hsrc=put(edges.hsrc), hdst=put(edges.hdst),
+        hnorm=put(edges.hnorm), hgs=put(edges.hgs),
+        send_idx=put(edges.send_idx),
         num_nodes=edges.num_nodes, n_per=edges.n_per, halo=edges.halo,
         num_shards=edges.num_shards)
 
@@ -202,32 +240,40 @@ def halo_aggregate(
     """Node-sharded ``sum_e norm_e * (x[src_e] @ W[rel_e]) -> dst``.
 
     ``x``: [S*n_per, d] node-sharded over the mesh; returns [S*n_per, h]
-    with the same sharding. One all_to_all ships halo rows; everything
-    else is device-local.
+    with the same sharding. The all_to_all shipping halo rows overlaps
+    with the owner-local aggregation (no data dependence between them);
+    only the small halo segment joins on the received buffer.
     """
     n_per = edges.n_per
 
-    def body(x_own, lsrc, ldst, norm, gs, send_idx, w_rep):
+    def body(x_own, lsrc, ldst, lnorm, lgs, hsrc, hdst, hnorm, hgs,
+             send_idx, w_rep):
         # x_own [n_per, d]; plan rows arrive with a leading length-1 shard axis
         send = jnp.take(x_own, send_idx[0].reshape(-1), axis=0)      # [S*H, d]
         send = send.reshape(edges.num_shards, edges.halo, -1)
         halo = jax.lax.all_to_all(send, EDGE_AXIS, split_axis=0,
                                   concat_axis=0, tiled=False)
-        combined = jnp.concatenate(
-            [x_own, halo.reshape(edges.num_shards * edges.halo, -1)], axis=0)
-        msg = jnp.take(combined, lsrc[0], axis=0)
-        msg = grouped_matmul(msg, w_rep, gs[0], backend=backend)
-        msg = msg * norm[0][:, None]
-        return jax.ops.segment_sum(msg, ldst[0], num_segments=n_per)
+        # owner-local aggregation: independent of `halo`, so XLA's async
+        # scheduler runs it while the exchange is in flight
+        msg = grouped_matmul(jnp.take(x_own, lsrc[0], axis=0), w_rep,
+                             lgs[0], backend=backend)
+        out = jax.ops.segment_sum(msg * lnorm[0][:, None], ldst[0],
+                                  num_segments=n_per)
+        # halo segment: joins on the received rows
+        hbuf = halo.reshape(edges.num_shards * edges.halo, -1)
+        hmsg = grouped_matmul(jnp.take(hbuf, hsrc[0], axis=0), w_rep,
+                              hgs[0], backend=backend)
+        return out + jax.ops.segment_sum(hmsg * hnorm[0][:, None], hdst[0],
+                                         num_segments=n_per)
 
     shard = P(EDGE_AXIS)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(shard, shard, shard, shard, shard, shard, P()),
+        in_specs=(shard,) * 10 + (P(),),
         out_specs=shard,
         check_vma=False,
-    )(x, edges.lsrc, edges.ldst, edges.norm, edges.group_sizes,
-      edges.send_idx, w)
+    )(x, edges.lsrc, edges.ldst, edges.lnorm, edges.lgs,
+      edges.hsrc, edges.hdst, edges.hnorm, edges.hgs, edges.send_idx, w)
 
 
 def halo_rgcn_conv(x, edges: HaloShardedEdges, params, mesh: Mesh,

@@ -128,15 +128,44 @@ def test_halo_partition_structure():
     he = halo_partition_edges(src, dst, typ, n, slots, 4, pad_to_multiple=8,
                               halo_multiple=4)
     n_per = he.n_per
-    ldst = np.asarray(he.ldst)
-    norm = np.asarray(he.norm)
     total = 0
-    for s in range(4):
-        real = norm[s] > 0
-        total += int(real.sum())
-        assert (ldst[s][real] < n_per).all()
+    for seg_dst, seg_norm in [(he.ldst, he.lnorm), (he.hdst, he.hnorm)]:
+        seg_dst, seg_norm = np.asarray(seg_dst), np.asarray(seg_norm)
+        for s in range(4):
+            real = seg_norm[s] > 0
+            total += int(real.sum())
+            assert (seg_dst[s][real] < n_per).all()
     assert total == len(src)
     # per-(rel, dst) mean coefficients sum to 1 per group, so the total
     # equals the number of distinct (rel, dst) groups
     keys = typ.astype(np.int64) * n + dst.astype(np.int64)
-    assert np.isclose(norm.sum(), len(np.unique(keys)))
+    assert np.isclose(np.asarray(he.lnorm).sum() + np.asarray(he.hnorm).sum(),
+                      len(np.unique(keys)))
+
+
+def test_halo_powerlaw_hub_graph(mesh8):
+    """Hub-heavy (Zipf) degree distribution: correctness + halo-buffer
+    sanity. Hubs are read by every shard, the worst case for the
+    per-(reader, owner) halo sizing (VERDICT weak #5)."""
+    rng = np.random.default_rng(11)
+    n, e, r = 64, 600, 3
+    slots = 2 * r + 1
+    # Zipf-distributed endpoints -> a handful of hub nodes carry most edges
+    zipf = lambda size: np.minimum(rng.zipf(1.6, size) - 1, n - 1).astype(np.int32)
+    src, dst = zipf(e), zipf(e)
+    typ = rng.integers(0, 2 * r, e).astype(np.int32)
+
+    he = halo_partition_edges(src, dst, typ, n, slots, 8, pad_to_multiple=8,
+                              halo_multiple=4)
+    # halo buffer can never exceed the owner's node range
+    assert he.halo <= max(8, he.n_per + 4)
+
+    x = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+    params = init_rgcn_layer(jax.random.key(7), slots, 8, 6)
+    dense = build_rel_edges(src, dst, typ, n, slots, 64)
+    want = rgcn_conv(x, dense, params, backend="gather")
+    hedges = device_put_halo_edges(he, mesh8)
+    xp = jax.device_put(pad_node_array(x, hedges), node_sharding(mesh8))
+    got = halo_rgcn_conv(xp, hedges, params, mesh8, backend="gather")
+    np.testing.assert_allclose(np.asarray(got)[:n], np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
