@@ -170,6 +170,20 @@ def main() -> None:
         t_base, loss_base = time_steps(step_base, params, opt_state, base_steps)
         log(f"baseline(loop): {t_base*1e3:.2f} ms/step  loss={loss_base:.4f}")
 
+    # HBM traffic model of the fused train step (see PERF.md): per layer
+    # the edge streams are one [Ep, d_in] gather (write + kernel read), one
+    # [Ep, d_out] cotangent gather (write + read), and the int32 code
+    # streams; node-sized arrays (outputs, dx, params, Adam moments) add
+    # ~10 * N * d f32. Random-row gathers are row-overhead-bound on TPU
+    # (~360M rows/s measured), so this is a lower bound, not the limiter.
+    esz = 2 if compute_dtype is not None else 4
+    ep = edges.fspan.padded_edges if edges.fspan is not None else e
+    layer_shapes = [(d, hl), (hl, c)]
+    edge_bytes = sum(2 * ep * (di * esz + do * esz + 2 * 4)
+                     for di, do in layer_shapes)
+    node_bytes = 10 * n * d * 4
+    gbps = (edge_bytes + node_bytes) / t_opt / 1e9
+
     print(json.dumps({
         "metric": "rgcn_train_step_edge_traversals_per_second_per_chip",
         "value": round(edges_per_s, 1),
@@ -178,6 +192,8 @@ def main() -> None:
         "compute_dtype": dtype_str,
         "ms_per_step": round(t_opt * 1e3, 2),
         "baseline_ms_per_step": round(t_base * 1e3, 2),
+        "hbm_bytes_per_step_est": edge_bytes + node_bytes,
+        "achieved_gbps_est": round(gbps, 1),
     }))
 
 

@@ -67,11 +67,11 @@ _SMALL_TABLE_BYTES = int(_os.environ.get("RGCN_SMALL_TABLE_BYTES", 256 << 20))
 _MAX_COTANGENT_ENTRIES = int(_os.environ.get("RGCN_MAX_COTANGENT_ENTRIES", 8 << 20))
 # scatter targets beyond this no longer fit VMEM -> use the Pallas reduction
 _VMEM_TABLE_BYTES = int(_os.environ.get("RGCN_VMEM_TABLE_BYTES", 8 << 20))
-# narrow-input layers stream cheaply per edge; the fused kernel's [sub,
-# R*d_out] VMEM traffic only pays off for wide inputs (measured at E=4M,
-# slots=91 on v5e: d_in=64 fused 53ms vs edge 90ms; d_in=16 fused 31ms vs
-# edge 10ms)
-_FUSED_MIN_DIN = int(_os.environ.get("RGCN_FUSED_MIN_DIN", 32))
+# minimum d_in for the fused forward. With the relation-banded span
+# kernels this is 0 (always fused): measured at E=4M, slots=91 on v5e the
+# span kernel runs d64->16 in 3.6ms and d16->8 in 3.4ms, vs ~11ms for the
+# edge mode's [E, d_in] gather alone. (The pre-band kernels needed >=32.)
+_FUSED_MIN_DIN = int(_os.environ.get("RGCN_FUSED_MIN_DIN", 0))
 
 
 class RelEdges(NamedTuple):
@@ -109,16 +109,10 @@ class RelEdges(NamedTuple):
     dst_plan: Optional[SegmentPlan]
     num_nodes: int
     group_offsets: tuple = ()
-    # dst-major copies for the fused forward kernel (aligned with
-    # dst_sorted/dst_plan): src/rel/norm values in dst-sorted order
-    fwd2_src: Optional[jnp.ndarray] = None
-    fwd2_rel: Optional[jnp.ndarray] = None
-    fwd2_norm: Optional[jnp.ndarray] = None
-    # src-major copies for the fused backward kernel (aligned with
-    # bwd_src/bwd_plan): dst/rel/norm values in (src, rel)-sorted order
-    bwd_dst: Optional[jnp.ndarray] = None
-    bwd_rel: Optional[jnp.ndarray] = None
-    bwd_norm: Optional[jnp.ndarray] = None
+    # relation-banded fused-kernel plans (ops/span_kernels.py): fspan is
+    # dst-bucketed (forward), bspan src-bucketed (backward)
+    fspan: Optional[object] = None
+    bspan: Optional[object] = None
 
 
 jax.tree_util.register_pytree_node(
@@ -126,12 +120,10 @@ jax.tree_util.register_pytree_node(
     lambda e: ((e.src, e.dst, e.norm, e.group_sizes, e.rel,
                 e.bwd_perm, e.bwd_src, e.bwd_keys, e.bwd_plan,
                 e.dst_perm, e.dst_sorted, e.dst_plan,
-                e.fwd2_src, e.fwd2_rel, e.fwd2_norm,
-                e.bwd_dst, e.bwd_rel, e.bwd_norm),
+                e.fspan, e.bspan),
                (e.num_nodes, e.group_offsets)),
     lambda aux, ch: RelEdges(*ch[:12], num_nodes=aux[0], group_offsets=aux[1],
-                             fwd2_src=ch[12], fwd2_rel=ch[13], fwd2_norm=ch[14],
-                             bwd_dst=ch[15], bwd_rel=ch[16], bwd_norm=ch[17]),
+                             fspan=ch[12], bspan=ch[13]),
 )
 
 # SegmentPlan: offsets array is data; the shape/bucket ints are static.
@@ -181,27 +173,34 @@ def build_rel_edges(
         typ = np.concatenate([typ, np.full(n_pad, num_slots - 1, np.int32)])
         group_sizes[num_slots - 1] += n_pad  # pad rows live in the empty slot
 
-    # backward layout: (src, rel)-sorted order for the write-once fused
-    # backward kernel (dx/dW in one pass) and the per-edge-transform
+    # backward layout: (src, rel)-sorted order for the per-edge-transform
     # fallback; the reduction segments are the N source nodes.
     perm = np.lexsort((typ, src)).astype(np.int32)
     bwd_src_np = src[perm]
     bwd_perm = jnp.asarray(perm)
     bwd_src = jnp.asarray(bwd_src_np)
     bwd_plan = plan_segmented_reduce(bwd_src_np, num_nodes)
-    bwd_dst = jnp.asarray(dst[perm])
-    bwd_rel = jnp.asarray(typ[perm])
-    bwd_norm = jnp.asarray(norm[perm])
 
-    # dst-major layout for the fused forward kernel (and the dst-sorted
-    # write-once reduction the non-fused forward uses past the VMEM cliff)
+    # dst-major layout for the dst-sorted write-once reduction the
+    # non-fused forward uses past the VMEM cliff
     dperm = np.argsort(dst, kind="stable").astype(np.int32)
     dst_perm = jnp.asarray(dperm)
     dst_sorted = jnp.asarray(dst[dperm])
     dst_plan = plan_segmented_reduce(dst[dperm], num_nodes)
-    fwd2_src = jnp.asarray(src[dperm])
-    fwd2_rel = jnp.asarray(typ[dperm])
-    fwd2_norm = jnp.asarray(norm[dperm])
+
+    # relation-banded fused-kernel plans: only over REAL edges (the span
+    # planner re-pads per chunk itself). The backward uses smaller key
+    # buckets: its per-edge [sub, s] one-hot dots write d_in<=64 lanes, so
+    # MXU time scales with s (measured on v5e: L2 bwd 24ms at s=512).
+    from scaling_rgcn_training_tpu.ops.span_kernels import plan_rel_span
+
+    real = norm > 0
+    fspan = plan_rel_span(src[real], dst[real], typ[real], norm[real],
+                          num_nodes, num_slots,
+                          bucket_rows=int(_os.environ.get("RGCN_SPAN_FWD_S", 0)))
+    bspan = plan_rel_span(dst[real], src[real], typ[real], norm[real],
+                          num_nodes, num_slots,
+                          bucket_rows=int(_os.environ.get("RGCN_SPAN_BWD_S", 0)))
 
     offsets = tuple(int(v) for v in np.concatenate([[0], np.cumsum(group_sizes)]))
     return RelEdges(
@@ -219,12 +218,8 @@ def build_rel_edges(
         dst_plan=dst_plan,
         num_nodes=int(num_nodes),
         group_offsets=offsets,
-        fwd2_src=fwd2_src,
-        fwd2_rel=fwd2_rel,
-        fwd2_norm=fwd2_norm,
-        bwd_dst=bwd_dst,
-        bwd_rel=bwd_rel,
-        bwd_norm=bwd_norm,
+        fspan=fspan,
+        bspan=bspan,
     )
 
 
@@ -344,14 +339,15 @@ def _aggregate_fwd_impl(x, w, edges: RelEdges, mode, backend):
     d_out = w.shape[2]
     acc = _acc_dtype(x.dtype)
     if mode == "fused":
-        # ONE kernel: per-edge relational matmul + write-once scatter over
-        # dst-sorted edges; only the [E, d_in] source gather stays in XLA
-        from scaling_rgcn_training_tpu.ops.fused_kernels import rel_matmul_scatter
+        # ONE relation-banded kernel: per-edge relational matmul +
+        # write-once scatter over dst-bucketed edges; only the [E, d_in]
+        # source gather stays in XLA
+        from scaling_rgcn_training_tpu.ops.span_kernels import rel_span_matmul_scatter
 
-        vals = jnp.take(x, edges.fwd2_src, axis=0) \
-            * edges.fwd2_norm[:, None].astype(x.dtype)
-        return rel_matmul_scatter(vals, edges.fwd2_rel, edges.dst_sorted,
-                                  edges.dst_plan, w).astype(acc)
+        span = edges.fspan
+        vals = jnp.take(x, span.gather_idx, axis=0) \
+            * span.norm[:, None].astype(x.dtype)
+        return rel_span_matmul_scatter(vals, span, w).astype(acc)
     if mode == "prematmul":
         slots = w.shape[0]
         # ONE flat matmul: [N, d] @ [d, slots*h] -> [N*slots, h] in src-major
@@ -385,10 +381,10 @@ def _aggregate_bwd(mode, backend, res, g_out):
     n = edges.num_nodes
     slots, d_in, d_out = w.shape
     on_tpu = jax.default_backend() == "tpu"
-    from scaling_rgcn_training_tpu.ops.fused_kernels import (
-        fused_ok, rel_backward_scatter)
+    from scaling_rgcn_training_tpu.ops.span_kernels import (
+        fused_ok, rel_span_backward_scatter)
 
-    use_fused = on_tpu and edges.bwd_dst is not None and fused_ok(
+    use_fused = on_tpu and edges.bspan is not None and fused_ok(
         slots, d_in, d_out)
     if not use_fused:
         g_msg = jnp.take(g_out, edges.dst, axis=0) * edges.norm[:, None]  # [E, h]
@@ -411,15 +407,15 @@ def _aggregate_bwd(mode, backend, res, g_out):
         return dx, dw, None
 
     if use_fused:
-        # ONE kernel over (src, rel)-sorted edges produces BOTH dx and dW
-        # (write-once src buckets; W and the dW accumulator live in VMEM).
-        # The only XLA pass is re-gathering the cotangent from the small
-        # [N, d_out] table in src-sorted order — cheaper than permuting
+        # ONE relation-banded kernel over src-bucketed edges produces BOTH
+        # dx and dW (write-once src buckets; W and the dW accumulator live
+        # in VMEM). The only XLA pass is re-gathering the cotangent from
+        # the small [N, d_out] table in span order — cheaper than permuting
         # the [E, d_out] message stream.
-        t = (jnp.take(g_out, edges.bwd_dst, axis=0)
-             * edges.bwd_norm[:, None]).astype(w.dtype)
-        dx, dw = rel_backward_scatter(t, edges.bwd_rel, edges.bwd_src,
-                                      edges.bwd_plan, x, w)
+        span = edges.bspan
+        t = (jnp.take(g_out, span.gather_idx, axis=0)
+             * span.norm[:, None]).astype(w.dtype)
+        dx, dw = rel_span_backward_scatter(t, span, x, w)
         dx = dx.astype(x.dtype)
         dw = dw.astype(w.dtype)
     else:
@@ -488,9 +484,9 @@ def rgcn_conv(
 
     w = materialize_weight(params)
     if mode == "auto":
-        from scaling_rgcn_training_tpu.ops.fused_kernels import fused_ok
+        from scaling_rgcn_training_tpu.ops.span_kernels import fused_ok
 
-        if (jax.default_backend() == "tpu" and edges.fwd2_src is not None
+        if (jax.default_backend() == "tpu" and edges.fspan is not None
                 and fused_ok(w.shape[0], w.shape[1], w.shape[2])
                 and w.shape[1] >= _FUSED_MIN_DIN):
             mode = "fused"

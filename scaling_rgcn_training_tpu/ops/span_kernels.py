@@ -1,0 +1,408 @@
+"""Relation-banded fused Pallas kernels: per-edge transform + write-once scatter.
+
+These collapse the R-GCN conv's per-edge pipeline (gather -> per-relation
+matmul -> norm scale -> segment reduce) into ONE kernel per direction
+(reference math: R masked passes inside PyG ``RGCNConv``,
+model/layers.py:21-23; SURVEY.md L0). They supersede the first-generation
+fused kernels (q-expansion over ALL relations): profiling on v5e showed
+those were bound by VPU traffic on the [sub, slots*d_out] mask
+intermediates (~29-33 ms at E=4M, slots=91 — identical in f32 and bf16,
+the signature of a non-MXU bound).
+
+Key idea — the relation band. Edges are bucketed by the OUTPUT row
+(dst-bucket for forward, src-bucket for backward), and *within each
+bucket* sorted by relation, then packed into fixed-size chunks such that
+every chunk touches at most ``kspan`` consecutive relations (host-side
+padding enforces this; see :func:`plan_rel_span`). A scalar-prefetched
+per-chunk base relation ``rb`` then lets the kernel:
+
+- slice only ``kspan * d_out`` rows of the flat weight stack
+  (``w_ref[pl.ds(rb*d_out, kq)]``) for the big matmul, and
+- build the relation mask at width ``kq = kspan*d_out`` instead of
+  ``slots*d_out`` — a ~slots/kspan reduction of BOTH the VPU mask work
+  and the MXU selection FLOPs.
+
+Shared structure (both kernels):
+- TPU grids run sequentially, so each [S, d] output tile is written once.
+- Buckets are chunk-ALIGNED (host pads each bucket to a multiple of
+  ``chunk``): no partial-chunk predication, padding rows self-mask
+  (norm = 0 kills values; out-of-range keys kill the scatter one-hot).
+- Scatter-add is the one-hot trick: ``onehot(key)^T @ msg`` accumulated
+  into the VMEM-resident output tile (see segment_kernels.py for why this
+  beats XLA scatter on TPU).
+
+Numerics: inputs may be bf16 (mixed precision); every dot accumulates
+f32 (Mosaic's 32-bit matmul-accumulator rule) and the cross-chunk output
+tiles are f32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import os as _os
+
+_DEF_CHUNK = int(_os.environ.get("RGCN_SPAN_CHUNK", 1024))
+_DEF_BUCKET_ROWS = int(_os.environ.get("RGCN_SPAN_BUCKET_ROWS", 512))
+_DEF_KSPAN = int(_os.environ.get("RGCN_SPAN_K", 16))
+_SUB = 512
+# above this many weight bytes the VMEM-resident stack no longer pays off
+_MAX_W_BYTES = int(_os.environ.get("RGCN_FUSED_MAX_W_BYTES", 6 << 20))
+
+
+def fused_ok(num_slots: int, d_in: int, d_out: int, itemsize: int = 4) -> bool:
+    """Whether the fused kernels' VMEM-resident weight stack fits."""
+    return num_slots * d_in * d_out * itemsize <= _MAX_W_BYTES
+
+
+class RelSpanEdges(NamedTuple):
+    """Host-built static plan for one direction of the banded fused conv.
+
+    ``gather_idx``: rows of the node array each edge reads (src for the
+    forward, dst for the backward). ``code``: ``(key << shift) | rel``
+    where key is the OUTPUT row (dst for forward, src for backward) and
+    rel the global relation id. ``norm``: per-edge mean coefficient (0 on
+    padding rows). ``offsets``: per-bucket edge offsets, chunk-aligned.
+    ``rbase``: per-(bucket, chunk) base relation, clamped so the
+    ``kspan``-wide weight slice stays in range.
+    """
+
+    gather_idx: jnp.ndarray    # int32 [Ep]
+    code: jnp.ndarray          # int32 [Ep]
+    norm: jnp.ndarray          # float32 [Ep]
+    offsets: jnp.ndarray       # int32 [num_buckets + 1]
+    rbase: jnp.ndarray         # int32 [num_buckets * max_chunks]
+    num_segments: int
+    num_slots: int
+    bucket_rows: int
+    chunk: int
+    max_chunks: int
+    kspan: int
+    shift: int
+    padded_edges: int
+
+
+jax.tree_util.register_pytree_node(
+    RelSpanEdges,
+    lambda e: ((e.gather_idx, e.code, e.norm, e.offsets, e.rbase),
+               (e.num_segments, e.num_slots, e.bucket_rows, e.chunk,
+                e.max_chunks, e.kspan, e.shift, e.padded_edges)),
+    lambda aux, ch: RelSpanEdges(*ch, *aux),
+)
+
+
+def plan_rel_span(
+    gather_idx: np.ndarray,
+    key: np.ndarray,
+    rel: np.ndarray,
+    norm: np.ndarray,
+    num_segments: int,
+    num_slots: int,
+    bucket_rows: int = 0,
+    chunk: int = 0,
+    kspan: int = 0,
+) -> RelSpanEdges:
+    """Host-side, once per graph: bucket by key, band by relation.
+
+    Packs each bucket's (relation-sorted) edges into ``chunk``-row chunks
+    whose relation span is < ``kspan``, padding chunk tails where a new
+    relation would overflow the band. Buckets are padded to whole chunks.
+    """
+    s = bucket_rows or _DEF_BUCKET_ROWS
+    chunk = chunk or _DEF_CHUNK
+    kspan = min(kspan or _DEF_KSPAN, num_slots)
+    gather_idx = np.asarray(gather_idx, np.int32)
+    key = np.asarray(key, np.int64)
+    rel = np.asarray(rel, np.int32)
+    norm = np.asarray(norm, np.float32)
+
+    shift = max(1, int(np.ceil(np.log2(max(num_slots, 2)))))
+    assert (num_segments << shift) < 2**31
+
+    num_buckets = -(-num_segments // s)
+    order = np.lexsort((key, rel, key // s))
+    gather_idx, key, rel, norm = (gather_idx[order], key[order],
+                                  rel[order], norm[order])
+    bucket = (key // s).astype(np.int64)
+    b_start = np.searchsorted(bucket, np.arange(num_buckets), side="left")
+    b_end = np.searchsorted(bucket, np.arange(num_buckets), side="right")
+
+    out_g, out_c, out_n = [], [], []
+    offsets = [0]
+    rbase_rows = []                    # list of per-bucket chunk rbase lists
+    pad_code = np.int32(num_segments << shift)
+    for b in range(num_buckets):
+        lo, hi = int(b_start[b]), int(b_end[b])
+        rbs = []
+        fill = 0
+        # group boundaries by relation within the bucket
+        rels_b = rel[lo:hi]
+        cuts = np.flatnonzero(np.diff(rels_b)) + 1
+        starts = np.concatenate([[0], cuts]) + lo
+        ends = np.concatenate([cuts, [hi - lo]]) + lo
+        for g0, g1 in zip(starts, ends):
+            r = int(rel[g0])
+            if fill and r - rbs[-1] >= kspan:
+                # close the chunk: pad to boundary, next chunk starts at r
+                pad = chunk - fill
+                out_g.append(np.zeros(pad, np.int32))
+                out_c.append(np.full(pad, pad_code | np.int32(rbs[-1]),
+                                     np.int32))
+                out_n.append(np.zeros(pad, np.float32))
+                fill = 0
+            pos = g0
+            while pos < g1:
+                if fill == 0:
+                    rbs.append(r)
+                take = min(chunk - fill, g1 - pos)
+                out_g.append(gather_idx[pos:pos + take])
+                out_c.append((key[pos:pos + take].astype(np.int32) << shift)
+                             | rel[pos:pos + take])
+                out_n.append(norm[pos:pos + take])
+                fill += take
+                pos += take
+                if fill == chunk:
+                    fill = 0
+        if fill:
+            pad = chunk - fill
+            out_g.append(np.zeros(pad, np.int32))
+            out_c.append(np.full(pad, pad_code | np.int32(rbs[-1]),
+                                 np.int32))
+            out_n.append(np.zeros(pad, np.float32))
+        offsets.append(offsets[-1] + len(rbs) * chunk)
+        rbase_rows.append(rbs)
+
+    if offsets[-1] == 0:                # graph with no edges at all
+        out_g.append(np.zeros(chunk, np.int32))
+        out_c.append(np.full(chunk, pad_code, np.int32))
+        out_n.append(np.zeros(chunk, np.float32))
+        offsets = [0] + [chunk] * num_buckets
+        rbase_rows[0] = [0]
+
+    max_chunks = max(1, max(len(r) for r in rbase_rows))
+    rbase = np.zeros((num_buckets, max_chunks), np.int32)
+    for b, rbs in enumerate(rbase_rows):
+        # clamp so the kspan-wide weight slice stays inside [0, slots)
+        rbase[b, :len(rbs)] = np.minimum(rbs, max(0, num_slots - kspan))
+
+    e_pad = offsets[-1]
+
+    return RelSpanEdges(
+        gather_idx=jnp.asarray(np.concatenate(out_g)),
+        code=jnp.asarray(np.concatenate(out_c)),
+        norm=jnp.asarray(np.concatenate(out_n)),
+        offsets=jnp.asarray(np.asarray(offsets, np.int32)),
+        rbase=jnp.asarray(rbase.reshape(-1)),
+        num_segments=int(num_segments), num_slots=int(num_slots),
+        bucket_rows=int(s), chunk=int(chunk), max_chunks=int(max_chunks),
+        kspan=int(kspan), shift=int(shift), padded_edges=int(e_pad))
+
+
+# -- forward: msg_e = vals_e @ W[rel_e]; out[key_e] += msg_e ------------------
+
+def _fwd_kernel(offs_ref, rbase_ref, code_ref, vals_ref, w_ref, g_ref,
+                out_ref, *, s: int, chunk: int, d_out: int, shift: int,
+                kq: int, max_chunks: int):
+    j = pl.program_id(0)
+    ci = pl.program_id(1)
+    e_lo = offs_ref[j]
+    e_hi = offs_ref[j + 1]
+    base = e_lo + ci * chunk            # buckets are chunk-aligned
+
+    @pl.when(ci == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(base < e_hi)
+    def _():
+        rb = rbase_ref[j * max_chunks + ci]
+        w_sl = w_ref[pl.ds(rb * d_out, kq), :]              # [kq, d_in]
+        dtype = vals_ref.dtype
+        sub = min(chunk, _SUB)
+        for q in range(chunk // sub):
+            sl = pl.ds(q * sub, sub)
+            vals = vals_ref[sl, :]                          # [sub, d_in]
+            code = code_ref[sl, 0][:, None]                 # [sub, 1]
+            rel = jnp.bitwise_and(code, (1 << shift) - 1) - rb
+            # banded transform: only the kspan relations this chunk touches
+            p_all = jax.lax.dot_general(
+                vals, w_sl, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype)
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (sub, kq), 1)
+            relexp = (rel == qcol // d_out).astype(dtype)   # [sub, kq]
+            msg = jax.lax.dot((p_all * relexp).astype(dtype), g_ref[:],
+                              preferred_element_type=jnp.float32
+                              ).astype(dtype)               # [sub, d_out]
+            # write-once scatter: out-of-bucket / padding keys self-mask
+            local = jax.lax.shift_right_logical(code, shift) - j * s
+            scol = jax.lax.broadcasted_iota(jnp.int32, (sub, s), 1)
+            keyhot = (local == scol).astype(dtype)          # [sub, s]
+            out_ref[:] += jax.lax.dot_general(
+                keyhot, msg, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def rel_span_matmul_scatter(vals: jnp.ndarray, span: RelSpanEdges,
+                            w: jnp.ndarray) -> jnp.ndarray:
+    """``out[k] = sum_{e: key_e = k} vals_e @ w[rel_e]``.
+
+    ``vals [Ep, d_in]`` in span order (pre-scaled by the mean-norm; padding
+    rows zero), ``w [slots, d_in, d_out]`` -> ``[M, d_out]`` float32.
+    """
+    _, d_in = vals.shape
+    slots, _, d_out = w.shape
+    s, chunk = span.bucket_rows, span.chunk
+    kq = span.kspan * d_out
+    m_pad = -(-span.num_segments // s) * s
+    num_buckets = m_pad // s
+    # flat weight layout Wf[r*d_out + o, i] = w[r, i, o]; the fold matrix
+    # G[q, o] = 1[q % d_out == o] is a tiny static operand
+    w_flat = jnp.transpose(w, (0, 2, 1)).reshape(slots * d_out, d_in
+                                                 ).astype(vals.dtype)
+    qs = np.arange(kq)
+    g_mat = jnp.asarray((qs[:, None] % d_out == np.arange(d_out)[None, :]
+                         ).astype(np.float32)).astype(vals.dtype)
+
+    max_block = span.padded_edges // chunk - 1
+
+    def edge_block(j, ci, offs, rb):
+        return (jnp.minimum(offs[j] // chunk + ci, max_block), 0)
+
+    const_block = lambda shape: pl.BlockSpec(
+        shape, lambda j, ci, offs, rb: (0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_buckets, span.max_chunks),
+        in_specs=[
+            pl.BlockSpec((chunk, 1), edge_block),
+            pl.BlockSpec((chunk, d_in), edge_block),
+            const_block((slots * d_out, d_in)),
+            const_block((kq, d_out)),
+        ],
+        out_specs=pl.BlockSpec((s, d_out), lambda j, ci, offs, rb: (j, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, s=s, chunk=chunk, d_out=d_out,
+                          shift=span.shift, kq=kq,
+                          max_chunks=span.max_chunks),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d_out), jnp.float32),
+        grid_spec=grid_spec,
+    )(span.offsets, span.rbase, span.code.reshape(-1, 1), vals, w_flat, g_mat)
+    return out[:span.num_segments]
+
+
+# -- backward: dx[src] += t_e @ W[rel_e]^T ; dW[rel_e] += x[src_e]^T t_e ------
+
+def _bwd_kernel(offs_ref, rbase_ref, code_ref, t_ref, x_ref, w_ref,
+                dx_ref, dw_ref, *, s: int, chunk: int, d_out: int,
+                shift: int, kq: int, max_chunks: int, slots: int):
+    j = pl.program_id(0)
+    ci = pl.program_id(1)
+    e_lo = offs_ref[j]
+    e_hi = offs_ref[j + 1]
+    base = e_lo + ci * chunk
+
+    @pl.when(ci == 0)
+    def _():
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+
+    @pl.when(jnp.logical_and(j == 0, ci == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    @pl.when(base < e_hi)
+    def _():
+        rb = rbase_ref[j * max_chunks + ci]
+        w_sl = w_ref[pl.ds(rb * d_out, kq), :]              # [kq, d_in]
+        dtype = t_ref.dtype
+        kspan = kq // d_out
+        sub = min(chunk, _SUB)
+        for q in range(chunk // sub):
+            sl = pl.ds(q * sub, sub)
+            t = t_ref[sl, :]                                # [sub, d_out]
+            code = code_ref[sl, 0][:, None]                 # [sub, 1]
+            rel = jnp.bitwise_and(code, (1 << shift) - 1) - rb
+            # src one-hot: out-of-bucket / padding rows self-mask (t = 0)
+            local = jax.lax.shift_right_logical(code, shift) - j * s
+            scol = jax.lax.broadcasted_iota(jnp.int32, (sub, s), 1)
+            srchot = (local == scol).astype(dtype)          # [sub, s]
+            xs = jax.lax.dot(srchot, x_ref[:],
+                             preferred_element_type=jnp.float32
+                             ).astype(dtype)                # [sub, d_in]
+            # banded mask M[e, q] = 1[rel_local == q // d_out] * t[e, q % d_out]
+            qcol = jax.lax.broadcasted_iota(jnp.int32, (sub, kq), 1)
+            relexp = (rel == qcol // d_out).astype(dtype)
+            texp = pltpu.repeat(t, kspan, axis=1)           # t[e, q % d_out]
+            m_exp = (relexp * texp).astype(dtype)           # [sub, kq]
+            dmsg = jax.lax.dot(m_exp, w_sl,
+                               preferred_element_type=jnp.float32)
+            dw_ref[pl.ds(rb * d_out, kq), :] += jax.lax.dot_general(
+                m_exp, xs, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dw_ref.dtype)
+            dx_ref[:] += jax.lax.dot_general(
+                srchot, dmsg.astype(dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+
+
+def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
+                              x: jnp.ndarray, w: jnp.ndarray
+                              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Both aggregation gradients in one pass over src-bucketed edges.
+
+    ``t [Ep, d_out]`` = ``norm_e * g_out[dst_e]`` in span order (padding
+    rows zero), ``x [N, d_in]`` node features, ``w [slots, d_in, d_out]``.
+    Returns ``dx [N, d_in]`` f32 and ``dw [slots, d_in, d_out]`` f32.
+    """
+    _, d_out = t.shape
+    slots, d_in, _ = w.shape
+    s, chunk = span.bucket_rows, span.chunk
+    kq = span.kspan * d_out
+    rq = slots * d_out
+    m_pad = -(-span.num_segments // s) * s
+    num_buckets = m_pad // s
+    x_pad = x.astype(t.dtype)
+    if x_pad.shape[0] < m_pad:
+        x_pad = jnp.pad(x_pad, ((0, m_pad - x_pad.shape[0]), (0, 0)))
+    w_flat = jnp.transpose(w, (0, 2, 1)).reshape(rq, d_in).astype(t.dtype)
+
+    max_block = span.padded_edges // chunk - 1
+
+    def edge_block(j, ci, offs, rb):
+        return (jnp.minimum(offs[j] // chunk + ci, max_block), 0)
+
+    const_block = lambda shape: pl.BlockSpec(
+        shape, lambda j, ci, offs, rb: (0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_buckets, span.max_chunks),
+        in_specs=[
+            pl.BlockSpec((chunk, 1), edge_block),
+            pl.BlockSpec((chunk, d_out), edge_block),
+            pl.BlockSpec((s, d_in), lambda j, ci, offs, rb: (j, 0)),
+            const_block((rq, d_in)),
+        ],
+        out_specs=[
+            pl.BlockSpec((s, d_in), lambda j, ci, offs, rb: (j, 0)),
+            const_block((rq, d_in)),
+        ],
+    )
+    dx, dw_flat = pl.pallas_call(
+        functools.partial(_bwd_kernel, s=s, chunk=chunk, d_out=d_out,
+                          shift=span.shift, kq=kq,
+                          max_chunks=span.max_chunks, slots=slots),
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((rq, d_in), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+    )(span.offsets, span.rbase, span.code.reshape(-1, 1), t, x_pad, w_flat)
+    dw = jnp.transpose(dw_flat.reshape(slots, d_out, d_in), (0, 2, 1))
+    return dx[:span.num_segments], dw

@@ -111,23 +111,22 @@ timeit("pallas _drhs (carry [E,16])",
            static_offsets=edges.group_offsets)),
        msg_h)
 
-from scaling_rgcn_training_tpu.ops.fused_kernels import (
-    rel_backward_scatter, rel_matmul_scatter)
+from scaling_rgcn_training_tpu.ops.span_kernels import (
+    rel_span_backward_scatter, rel_span_matmul_scatter)
 
 dt = jnp.bfloat16 if os.environ.get("P_BF16") else jnp.float32
-vals_f = (msg_d * 1).astype(dt)
+fsp, bsp = edges.fspan, edges.bspan
+vals_f = jnp.zeros((fsp.padded_edges, d), dt)
 timeit("fused fwd kernel [E,64]->rel@W->[N,16]",
-       lambda v: jnp.tile(rel_matmul_scatter(
-           v, edges.fwd2_rel, edges.dst_sorted, edges.dst_plan,
-           w.astype(dt)), (1, d // h))[:ep // n * n].reshape(-1, d)[:ep],
+       lambda v: v * (1 + 1e-24 * jnp.mean(rel_span_matmul_scatter(
+           v, fsp, w.astype(dt))).astype(dt)),
        vals_f)
-t_h = (msg_h * 1).astype(dt)
+t_h = jnp.zeros((bsp.padded_edges, h), dt)
 xx = x.astype(dt)
 timeit("fused bwd kernel (dx+dw)",
-       lambda t: t * (1 + 1e-24 * jnp.mean(rel_backward_scatter(
-           t, edges.bwd_rel, edges.bwd_src, edges.bwd_plan, xx,
-           w.astype(dt))[0]).astype(dt)),
+       lambda t: t * (1 + 1e-24 * jnp.mean(rel_span_backward_scatter(
+           t, bsp, xx, w.astype(dt))[0]).astype(dt)),
        t_h)
-timeit("gather x[fwd2_src]*norm [E,64]",
-       lambda xq: jnp.take(xq, edges.fwd2_src, axis=0) * edges.fwd2_norm[:, None].astype(dt),
+timeit("gather x[fspan.gather_idx]*norm [E,64]",
+       lambda xq: jnp.take(xq, fsp.gather_idx, axis=0) * fsp.norm[:, None].astype(dt),
        xx)

@@ -1,12 +1,14 @@
-"""Per-piece timing of the FUSED conv path at the bench shape.
+"""Per-piece timing of the FUSED (relation-banded) conv path at the bench shape.
 
-Measures the two Pallas fused kernels in isolation (given pre-gathered
+Measures the two span Pallas kernels in isolation (given pre-gathered
 operands), the XLA gathers that feed them, and the composite
 relational_aggregate fwd / fwd+bwd in fused mode — f32 and bf16 — for both
-layer shapes (d64->16 and d16->8). Methodology as scripts/micro_profile.py
-(output-carried lax.scan chain; no DCE/hoisting).
+layer shapes (d64->16 and d16->8). Methodology: output-carried lax.scan
+chain (no DCE/hoisting); run nothing else against the chip concurrently —
+shared-tunnel contention skews results by 10x.
 
-Run: python scripts/profile_fused.py
+Run: python scripts/profile_fused.py   (env: P_NODES/P_EDGES/P_RELS/
+P_DIM/P_OUT/P_INNER/P_ONLY)
 """
 import os
 import sys
@@ -25,8 +27,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from scaling_rgcn_training_tpu.ops import build_rel_edges
-from scaling_rgcn_training_tpu.ops.fused_kernels import (
-    rel_matmul_scatter, rel_backward_scatter)
+from scaling_rgcn_training_tpu.ops.span_kernels import (
+    rel_span_matmul_scatter, rel_span_backward_scatter)
 from scaling_rgcn_training_tpu.ops.rgcn_conv import relational_aggregate
 
 n = int(os.environ.get("P_NODES", 200_000))
@@ -43,18 +45,19 @@ dst = rng.integers(0, n, e).astype(np.int32)
 typ = rng.integers(0, 2 * r, e).astype(np.int32)
 slots = 2 * r + 1
 edges = build_rel_edges(src, dst, typ, n, slots, pad_to_multiple=512)
-ep = len(edges.src)
+fsp, bsp = edges.fspan, edges.bspan
 
 x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
 w = jnp.asarray(rng.standard_normal((slots, d, h)) * 0.1, jnp.float32)
-vals_d = jnp.asarray(rng.standard_normal((ep, d)), jnp.float32)
-t_h = jnp.asarray(rng.standard_normal((ep, h)), jnp.float32)
+vals_d = jnp.asarray(rng.standard_normal((fsp.padded_edges, d)), jnp.float32)
+t_h = jnp.asarray(rng.standard_normal((bsp.padded_edges, h)), jnp.float32)
 x_h = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
 w2 = jnp.asarray(rng.standard_normal((slots, h, 8)) * 0.1, jnp.float32)
-vals_h = jnp.asarray(rng.standard_normal((ep, h)), jnp.float32)
-t_8 = jnp.asarray(rng.standard_normal((ep, 8)), jnp.float32)
+vals_h = jnp.asarray(rng.standard_normal((fsp.padded_edges, h)), jnp.float32)
+t_8 = jnp.asarray(rng.standard_normal((bsp.padded_edges, 8)), jnp.float32)
 
-print(f"N={n} E={e} (padded {ep}) slots={slots} d={d} h={h} inner={inner} "
+print(f"N={n} E={e} (fwd span pad {fsp.padded_edges}, K={fsp.kspan}) "
+      f"slots={slots} d={d} h={h} inner={inner} "
       f"backend={jax.default_backend()}", flush=True)
 
 
@@ -73,34 +76,34 @@ def timeit(name, fn, *args):
     t0 = time.perf_counter()
     o = g(jnp.float32(0), *args); jax.block_until_ready(o)
     tc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    o = g(o, *args); jax.block_until_ready(o)
-    dt = (time.perf_counter() - t0) / inner
-    print(f"{name:46s} {dt*1e3:9.2f} ms  (compile {tc:5.1f}s)", flush=True)
-    return dt
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = g(o, *args); jax.block_until_ready(o)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    print(f"{name:46s} {best*1e3:9.2f} ms  (compile {tc:5.1f}s)", flush=True)
+    return best
 
 
 bf = jnp.bfloat16
 
 # -- layer 1 shape: d_in=64, d_out=16 ----------------------------------------
-timeit("L1 fused fwd kernel f32",
-       lambda v: rel_matmul_scatter(v, edges.fwd2_rel, edges.dst_sorted,
-                                    edges.dst_plan, w), vals_d)
-timeit("L1 fused fwd kernel bf16",
-       lambda v: rel_matmul_scatter(v, edges.fwd2_rel, edges.dst_sorted,
-                                    edges.dst_plan, w.astype(bf)),
+timeit("L1 span fwd kernel f32",
+       lambda v: rel_span_matmul_scatter(v, fsp, w), vals_d)
+timeit("L1 span fwd kernel bf16",
+       lambda v: rel_span_matmul_scatter(v, fsp, w.astype(bf)),
        vals_d.astype(bf))
-timeit("L1 fused bwd kernel f32",
-       lambda t, xx: rel_backward_scatter(t, edges.bwd_rel, edges.bwd_src,
-                                          edges.bwd_plan, xx, w), t_h, x)
-timeit("L1 fused bwd kernel bf16",
-       lambda t, xx: rel_backward_scatter(t, edges.bwd_rel, edges.bwd_src,
-                                          edges.bwd_plan, xx, w.astype(bf)),
+timeit("L1 span bwd kernel f32",
+       lambda t, xx: rel_span_backward_scatter(t, bsp, xx, w), t_h, x)
+timeit("L1 span bwd kernel bf16",
+       lambda t, xx: rel_span_backward_scatter(t, bsp, xx, w.astype(bf)),
        t_h.astype(bf), x.astype(bf))
-timeit("L1 gather x[fwd2_src] f32",
-       lambda xx: jnp.take(xx, edges.fwd2_src, axis=0), x)
-timeit("L1 gather gout[bwd_dst] [N,16] f32",
-       lambda g: jnp.take(g, edges.bwd_dst, axis=0), x_h)
+timeit("L1 gather x[fspan] f32",
+       lambda xx: jnp.take(xx, fsp.gather_idx, axis=0), x)
+timeit("L1 gather x[fspan] bf16",
+       lambda xx: jnp.take(xx, fsp.gather_idx, axis=0), x.astype(bf))
+timeit("L1 gather gout[bspan] [N,16] f32",
+       lambda g: jnp.take(g, bsp.gather_idx, axis=0), x_h)
 
 
 def agg_fwd(xx, ww):
@@ -119,9 +122,13 @@ timeit("L1 aggregate fwd+bwd (fused) bf16",
        agg_fb, x.astype(bf), w.astype(bf))
 
 # -- layer 2 shape: d_in=16, d_out=8 ------------------------------------------
-timeit("L2 fused fwd kernel f32",
-       lambda v: rel_matmul_scatter(v, edges.fwd2_rel, edges.dst_sorted,
-                                    edges.dst_plan, w2), vals_h)
-timeit("L2 fused bwd kernel f32",
-       lambda t, xx: rel_backward_scatter(t, edges.bwd_rel, edges.bwd_src,
-                                          edges.bwd_plan, xx, w2), t_8, x_h)
+timeit("L2 span fwd kernel f32",
+       lambda v: rel_span_matmul_scatter(v, fsp, w2), vals_h)
+timeit("L2 span fwd kernel bf16",
+       lambda v: rel_span_matmul_scatter(v, fsp, w2.astype(bf)),
+       vals_h.astype(bf))
+timeit("L2 span bwd kernel f32",
+       lambda t, xx: rel_span_backward_scatter(t, bsp, xx, w2), t_8, x_h)
+timeit("L2 span bwd kernel bf16",
+       lambda t, xx: rel_span_backward_scatter(t, bsp, xx, w2.astype(bf)),
+       t_8.astype(bf), x_h.astype(bf))

@@ -29,28 +29,41 @@ def test_baseline_learns(synth_data):
     res = t.train_original(
         "summation", {"dataset": "SYNTH", "num_sums": 1, "e_trans": False,
                       "w_trans": False}, "baseline", verbose=False)
-    # 3 classes -> chance ~0.33; structure + relation signal must be learned
-    assert res["test_acc"] > 0.55, res["test_acc"]
+    # pinned band around the recorded seed-0 value (0.571 on the 21-node
+    # test split; one node flip = 4.8 points, so the band is ±2 nodes)
+    assert 0.45 <= res["test_acc"] <= 0.70, res["test_acc"]
     assert max(res["accuracy"]) > 0.5
 
 
 @pytest.mark.slow
-def test_transfer_matrix(synth_data):
+def test_transfer_matrix_beats_baseline(synth_data):
+    """The reference's core scientific claim (README.md:5-14): summary
+    pre-training + transfer outperforms the from-scratch baseline.
+    Recorded seed values: baseline 0.571, summation 0.667, mlp 0.810,
+    attention 0.905 — floors sit ~2 test-node flips below each."""
+    cfg_b = {"dataset": "SYNTH", "num_sums": 1, "e_trans": False,
+             "w_trans": False}
+    t0 = Trainer(synth_data, hidden_l=16, epochs=40, emb_dim=24, lr=0.01,
+                 weight_d=5e-5, seed=0, backend="gather")
+    base_acc = t0.train_original("summation", cfg_b, "baseline",
+                                 verbose=False)["test_acc"]
+
     configs = {"dataset": "SYNTH", "num_sums": 3, "e_trans": True,
                "e_freeze": True, "w_trans": True, "w_grad": True}
     t = Trainer(synth_data, hidden_l=16, epochs=40, emb_dim=24, lr=0.01,
                 weight_d=5e-5, seed=1, backend="gather")
     t.train_summaries(configs, verbose=False)
-    # summary losses must decrease
+    floors = {"summation": 0.55, "mlp": 0.70, "attention": 0.80}
     accs = {}
     for exp in ["summation", "mlp", "attention"]:
         res = t.train_original(exp, configs, exp, verbose=False)
         accs[exp] = res["test_acc"]
         assert np.isfinite(res["loss"]).all()
         assert res["loss"][-1] < res["loss"][0]  # training progresses
-    # every transfer head must clearly beat chance
+        assert accs[exp] >= floors[exp], (exp, accs[exp])
+    # every transfer head matches or beats the baseline experiment
     for exp, acc in accs.items():
-        assert acc > 0.45, (exp, acc)
+        assert acc >= base_acc - 1e-6, (exp, acc, base_acc)
 
 
 @pytest.mark.slow
