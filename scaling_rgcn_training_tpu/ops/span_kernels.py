@@ -148,6 +148,8 @@ def plan_rel_span(
         starts = np.concatenate([[0], cuts]) + lo
         ends = np.concatenate([cuts, [hi - lo]]) + lo
         for g0, g1 in zip(starts, ends):
+            if g0 >= g1:        # empty bucket (zero-edge segment/shard)
+                continue
             r = int(rel[g0])
             if fill and r - rbs[-1] >= kspan:
                 # close the chunk: pad to boundary, next chunk starts at r
@@ -406,3 +408,90 @@ def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
     )(span.offsets, span.rbase, span.code.reshape(-1, 1), t, x_pad, w_flat)
     dw = jnp.transpose(dw_flat.reshape(slots, d_out, d_in), (0, 2, 1))
     return dx[:span.num_segments], dw
+
+
+# -- reusable fused aggregate (single-shard or per-shard inside shard_map) ----
+
+@jax.custom_vjp
+def span_aggregate(x, w, fspan: RelSpanEdges, bspan: RelSpanEdges):
+    """``out[dst] = sum_e norm_e * (x[src_e] @ w[rel_e])`` via span kernels.
+
+    The fused-mode message-passing core with both directions relation-
+    banded (same math as ``ops.rgcn_conv.relational_aggregate``; reference
+    semantics model/layers.py:21-23). Packaged as its own custom-VJP so the
+    distributed halo path (parallel/halo.py) can run the identical kernels
+    per shard inside ``shard_map`` — ``fspan``/``bspan`` ride along as
+    pytree args (their cotangents are None).
+
+    ``x [N, d_in]`` -> ``[fspan.num_segments, d_out]`` in f32-accumulated
+    ``x`` precision semantics: output f32 when x is low-precision.
+    """
+    return _span_agg_fwd(x, w, fspan, bspan)[0]
+
+
+def _span_agg_fwd(x, w, fspan, bspan):
+    acc = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
+    vals = jnp.take(x, fspan.gather_idx, axis=0) \
+        * fspan.norm[:, None].astype(x.dtype)
+    out = rel_span_matmul_scatter(vals, fspan, w).astype(acc)
+    return out, (x, w, bspan)
+
+
+def _span_agg_bwd(res, g_out):
+    x, w, bspan = res
+    t = (jnp.take(g_out, bspan.gather_idx, axis=0)
+         * bspan.norm[:, None]).astype(w.dtype)
+    dx, dw = rel_span_backward_scatter(t, bspan, x, w)
+    return dx.astype(x.dtype), dw.astype(w.dtype), None, None
+
+
+span_aggregate.defvjp(_span_agg_fwd, _span_agg_bwd)
+
+
+def stack_spans(spans: list[RelSpanEdges]) -> RelSpanEdges:
+    """Stack per-shard plans into one with a leading shard axis.
+
+    All plans must share (num_segments, num_slots, bucket_rows, chunk,
+    kspan) — true for halo shards, which all own ``n_per`` rows. Shards
+    with fewer chunks get dead trailing edge rows (norm 0) and zero
+    ``rbase`` padding; the kernels' ``base < e_hi`` guard skips them.
+    Inside ``shard_map`` use :func:`shard_span` to strip the axis back off.
+    """
+    s0 = spans[0]
+    for sp in spans[1:]:
+        assert (sp.num_segments, sp.num_slots, sp.bucket_rows, sp.chunk,
+                sp.kspan, sp.shift) == (s0.num_segments, s0.num_slots,
+                                        s0.bucket_rows, s0.chunk, s0.kspan,
+                                        s0.shift), "shard plans disagree"
+    e_max = max(sp.padded_edges for sp in spans)
+    mc_max = max(sp.max_chunks for sp in spans)
+    nb = len(np.asarray(s0.offsets)) - 1
+    pad_code = np.int32(s0.num_segments << s0.shift)
+
+    def pad_edges(sp, arr, fill):
+        a = np.asarray(arr)
+        if len(a) < e_max:
+            a = np.concatenate([a, np.full(e_max - len(a), fill, a.dtype)])
+        return a
+
+    g = np.stack([pad_edges(sp, sp.gather_idx, 0) for sp in spans])
+    c = np.stack([pad_edges(sp, sp.code, pad_code) for sp in spans])
+    nrm = np.stack([pad_edges(sp, sp.norm, 0.0) for sp in spans])
+    offs = np.stack([np.asarray(sp.offsets) for sp in spans])
+    rb = np.stack([
+        np.pad(np.asarray(sp.rbase).reshape(nb, sp.max_chunks),
+               ((0, 0), (0, mc_max - sp.max_chunks))).reshape(-1)
+        for sp in spans])
+    return RelSpanEdges(
+        gather_idx=jnp.asarray(g), code=jnp.asarray(c), norm=jnp.asarray(nrm),
+        offsets=jnp.asarray(offs), rbase=jnp.asarray(rb),
+        num_segments=s0.num_segments, num_slots=s0.num_slots,
+        bucket_rows=s0.bucket_rows, chunk=s0.chunk, max_chunks=mc_max,
+        kspan=s0.kspan, shift=s0.shift, padded_edges=e_max)
+
+
+def shard_span(span: RelSpanEdges) -> RelSpanEdges:
+    """Strip the length-1 shard axis off a stacked plan (inside shard_map)."""
+    return span._replace(gather_idx=span.gather_idx[0], code=span.code[0],
+                         norm=span.norm[0], offsets=span.offsets[0],
+                         rbase=span.rbase[0])

@@ -82,15 +82,26 @@ class HaloShardedEdges(NamedTuple):
     n_per: int                 # owned rows per device
     halo: int                  # H: max remote rows any (reader, owner) pair ships
     num_shards: int
+    # stacked per-shard relation-banded plans (ops/span_kernels.py) so the
+    # distributed path runs the SAME fused kernels as the single chip:
+    # l* over the owner-local segment, h* over the halo segment (fwd plans
+    # keyed by dst, bwd plans keyed by the rows the gradient scatters to)
+    lfspan: Optional[object] = None
+    lbspan: Optional[object] = None
+    hfspan: Optional[object] = None
+    hbspan: Optional[object] = None
 
 
 jax.tree_util.register_pytree_node(
     HaloShardedEdges,
     lambda e: ((e.lsrc, e.ldst, e.lnorm, e.lgs,
-                e.hsrc, e.hdst, e.hnorm, e.hgs, e.send_idx),
+                e.hsrc, e.hdst, e.hnorm, e.hgs, e.send_idx,
+                e.lfspan, e.lbspan, e.hfspan, e.hbspan),
                (e.num_nodes, e.n_per, e.halo, e.num_shards)),
-    lambda aux, ch: HaloShardedEdges(*ch, num_nodes=aux[0], n_per=aux[1],
-                                     halo=aux[2], num_shards=aux[3]),
+    lambda aux, ch: HaloShardedEdges(*ch[:9], num_nodes=aux[0], n_per=aux[1],
+                                     halo=aux[2], num_shards=aux[3],
+                                     lfspan=ch[9], lbspan=ch[10],
+                                     hfspan=ch[11], hbspan=ch[12]),
 )
 
 
@@ -165,13 +176,17 @@ def halo_partition_edges(
     hgs = np.zeros((s_n, num_slots), np.int32)
     send_idx = np.zeros((s_n, s_n, h), np.int32)
 
+    from scaling_rgcn_training_tpu.ops.span_kernels import (
+        plan_rel_span, stack_spans)
+
+    lf_plans, lb_plans, hf_plans, hb_plans = [], [], [], []
     for s in range(s_n):
         src_s, dst_s, typ_s, norm_s, src_owner, own = shards[s]
         # owner-local segment: src indexes x_own directly
+        l_src = (src_s[own] - s * n_per).astype(np.int32)
+        l_dst = (dst_s[own] - s * n_per).astype(np.int32)
         lsrc[s], ldst[s], lnorm[s], lgs[s] = _sorted_padded_segment(
-            (src_s[own] - s * n_per).astype(np.int32),
-            (dst_s[own] - s * n_per).astype(np.int32),
-            typ_s[own], norm_s[own], num_slots, e_loc)
+            l_src, l_dst, typ_s[own], norm_s[own], num_slots, e_loc)
         # halo segment: src indexes the received [S*H] buffer at p*H + pos
         rem = ~own
         loc = np.zeros(int(rem.sum()), np.int32)
@@ -184,11 +199,25 @@ def halo_partition_edges(
             sel = r_owner == p
             if sel.any():
                 loc[sel] = p * h + np.searchsorted(ids, r_src[sel])
+        h_dst = (dst_s[rem] - s * n_per).astype(np.int32)
         hsrc[s], hdst[s], hnorm[s], hgs[s] = _sorted_padded_segment(
-            loc, (dst_s[rem] - s * n_per).astype(np.int32),
-            typ_s[rem], norm_s[rem], num_slots, e_halo)
+            loc, h_dst, typ_s[rem], norm_s[rem], num_slots, e_halo)
+        # relation-banded plans (same kernels as the single-chip fused
+        # mode): fwd keyed by dst; bwd keyed by the gradient's target rows
+        # (x_own rows for the local segment, halo-buffer rows for the halo
+        # segment — its dx transposes back through the all_to_all)
+        lf_plans.append(plan_rel_span(l_src, l_dst, typ_s[own], norm_s[own],
+                                      n_per, num_slots))
+        lb_plans.append(plan_rel_span(l_dst, l_src, typ_s[own], norm_s[own],
+                                      n_per, num_slots))
+        hf_plans.append(plan_rel_span(loc, h_dst, typ_s[rem], norm_s[rem],
+                                      n_per, num_slots))
+        hb_plans.append(plan_rel_span(h_dst, loc, typ_s[rem], norm_s[rem],
+                                      s_n * h, num_slots))
 
     return HaloShardedEdges(
+        lfspan=stack_spans(lf_plans), lbspan=stack_spans(lb_plans),
+        hfspan=stack_spans(hf_plans), hbspan=stack_spans(hb_plans),
         lsrc=jnp.asarray(lsrc), ldst=jnp.asarray(ldst),
         lnorm=jnp.asarray(lnorm), lgs=jnp.asarray(lgs),
         hsrc=jnp.asarray(hsrc), hdst=jnp.asarray(hdst),
@@ -212,17 +241,22 @@ def pad_node_array(x: jnp.ndarray, edges: HaloShardedEdges) -> jnp.ndarray:
 
 def device_put_halo_edges(edges: HaloShardedEdges, mesh: Mesh) -> HaloShardedEdges:
     """Pin each shard's plan rows onto its device (leading axis sharded)."""
+    from scaling_rgcn_training_tpu.parallel.mesh import put_global
+
     def put(a):
-        return jax.device_put(
+        return put_global(
             a, NamedSharding(mesh, P(EDGE_AXIS, *([None] * (a.ndim - 1)))))
 
+    put_span = lambda sp: None if sp is None else jax.tree.map(put, sp)
     return HaloShardedEdges(
         lsrc=put(edges.lsrc), ldst=put(edges.ldst), lnorm=put(edges.lnorm),
         lgs=put(edges.lgs), hsrc=put(edges.hsrc), hdst=put(edges.hdst),
         hnorm=put(edges.hnorm), hgs=put(edges.hgs),
         send_idx=put(edges.send_idx),
         num_nodes=edges.num_nodes, n_per=edges.n_per, halo=edges.halo,
-        num_shards=edges.num_shards)
+        num_shards=edges.num_shards,
+        lfspan=put_span(edges.lfspan), lbspan=put_span(edges.lbspan),
+        hfspan=put_span(edges.hfspan), hbspan=put_span(edges.hbspan))
 
 
 def node_sharding(mesh: Mesh) -> NamedSharding:
@@ -246,8 +280,21 @@ def halo_aggregate(
     """
     n_per = edges.n_per
 
+    import os as _os
+
+    from scaling_rgcn_training_tpu.ops.span_kernels import (
+        fused_ok, shard_span, span_aggregate)
+
+    slots, d_in, d_out = w.shape
+    use_fused = (
+        edges.lfspan is not None
+        and fused_ok(slots, d_in, d_out)
+        and (jax.default_backend() == "tpu"
+             or bool(_os.environ.get("RGCN_HALO_FUSED")))
+        and backend is None)
+
     def body(x_own, lsrc, ldst, lnorm, lgs, hsrc, hdst, hnorm, hgs,
-             send_idx, w_rep):
+             send_idx, spans, w_rep):
         # x_own [n_per, d]; plan rows arrive with a leading length-1 shard axis
         send = jnp.take(x_own, send_idx[0].reshape(-1), axis=0)      # [S*H, d]
         send = send.reshape(edges.num_shards, edges.halo, -1)
@@ -255,6 +302,11 @@ def halo_aggregate(
                                   concat_axis=0, tiled=False)
         # owner-local aggregation: independent of `halo`, so XLA's async
         # scheduler runs it while the exchange is in flight
+        if use_fused:
+            lf, lb, hf, hb = (shard_span(sp) for sp in spans)
+            out = span_aggregate(x_own, w_rep, lf, lb)
+            hbuf = halo.reshape(edges.num_shards * edges.halo, -1)
+            return out + span_aggregate(hbuf, w_rep, hf, hb)
         msg = grouped_matmul(jnp.take(x_own, lsrc[0], axis=0), w_rep,
                              lgs[0], backend=backend)
         out = jax.ops.segment_sum(msg * lnorm[0][:, None], ldst[0],
@@ -266,14 +318,18 @@ def halo_aggregate(
         return out + jax.ops.segment_sum(hmsg * hnorm[0][:, None], hdst[0],
                                          num_segments=n_per)
 
+    spans = ((edges.lfspan, edges.lbspan, edges.hfspan, edges.hbspan)
+             if use_fused else ())
     shard = P(EDGE_AXIS)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(shard,) * 10 + (P(),),
+        in_specs=(shard,) * 10 + (jax.tree.map(lambda _: shard, spans),)
+        + (P(),),
         out_specs=shard,
         check_vma=False,
     )(x, edges.lsrc, edges.ldst, edges.lnorm, edges.lgs,
-      edges.hsrc, edges.hdst, edges.hnorm, edges.hgs, edges.send_idx, w)
+      edges.hsrc, edges.hdst, edges.hnorm, edges.hgs, edges.send_idx,
+      spans, w)
 
 
 def halo_rgcn_conv(x, edges: HaloShardedEdges, params, mesh: Mesh,
