@@ -28,6 +28,11 @@ class DeviceGraph(NamedTuple):
     y_val: Optional[jnp.ndarray] = None
     x_test: Optional[jnp.ndarray] = None
     y_test: Optional[jnp.ndarray] = None
+    # locality reorder (halo partition only): node_perm[old_id] = new_id.
+    # Index arrays above are already remapped; embeddings entering or
+    # leaving the model must go through it (trainer._permute_embedding /
+    # unpermute via gather).
+    node_perm: Optional[np.ndarray] = None
 
     @property
     def num_nodes(self) -> int:
@@ -35,7 +40,8 @@ class DeviceGraph(NamedTuple):
 
 
 def build_device_graph(graph: Graph, pad_to_multiple: int = 512,
-                       mesh=None, partition: Optional[str] = None) -> DeviceGraph:
+                       mesh=None, partition: Optional[str] = None,
+                       reorder: bool = False) -> DeviceGraph:
     """Lower a host ``Graph`` (with training tensors attached) to device arrays.
 
     With ``mesh`` (a ``jax.sharding.Mesh``) and ``partition`` ("edge" or
@@ -43,15 +49,29 @@ def build_device_graph(graph: Graph, pad_to_multiple: int = 512,
     ``rgcn_conv`` dispatches on the edge pytree type, so models and the
     trainer run unchanged (the reference is single-device,
     model/modelTrainer.py:16; this is the TPU-native scaling path).
+
+    ``reorder`` (halo only): relabel nodes by label-propagation clustering
+    (parallel/reorder.py) before partitioning, shrinking the halo exchange
+    on community-structured graphs. The split index arrays are remapped;
+    ``node_perm`` records the relabeling for embedding import/export.
     """
     if mesh is not None and partition:
         num_shards = mesh.devices.size
+        src, dst = graph.edge_src, graph.edge_dst
+        node_perm = None
+        remap = lambda a: a
+        if reorder and partition == "halo":
+            from scaling_rgcn_training_tpu.parallel.reorder import locality_reorder
+
+            node_perm = locality_reorder(src, dst, graph.num_nodes)
+            src, dst = node_perm[src], node_perm[dst]
+            remap = lambda a: None if a is None else node_perm[np.asarray(a)]
         if partition == "edge":
             from scaling_rgcn_training_tpu.parallel import (
                 device_put_sharded_edges, shard_rel_edges)
 
             edges = device_put_sharded_edges(shard_rel_edges(
-                graph.edge_src, graph.edge_dst, graph.edge_type,
+                src, dst, graph.edge_type,
                 graph.num_nodes, graph.num_relation_slots, num_shards,
                 pad_to_multiple=pad_to_multiple), mesh)
         elif partition == "halo":
@@ -59,7 +79,7 @@ def build_device_graph(graph: Graph, pad_to_multiple: int = 512,
                 device_put_halo_edges, halo_partition_edges)
 
             edges = device_put_halo_edges(halo_partition_edges(
-                graph.edge_src, graph.edge_dst, graph.edge_type,
+                src, dst, graph.edge_type,
                 graph.num_nodes, graph.num_relation_slots, num_shards,
                 pad_to_multiple=pad_to_multiple), mesh)
         else:
@@ -67,9 +87,10 @@ def build_device_graph(graph: Graph, pad_to_multiple: int = 512,
         as_dev = lambda a: None if a is None else jnp.asarray(a)
         return DeviceGraph(
             edges=edges,
-            x_train=as_dev(graph.x_train), y_train=as_dev(graph.y_train),
-            x_val=as_dev(graph.x_val), y_val=as_dev(graph.y_val),
-            x_test=as_dev(graph.x_test), y_test=as_dev(graph.y_test),
+            x_train=as_dev(remap(graph.x_train)), y_train=as_dev(graph.y_train),
+            x_val=as_dev(remap(graph.x_val)), y_val=as_dev(graph.y_val),
+            x_test=as_dev(remap(graph.x_test)), y_test=as_dev(graph.y_test),
+            node_perm=node_perm,
         )
     edges = build_rel_edges(
         graph.edge_src, graph.edge_dst, graph.edge_type,

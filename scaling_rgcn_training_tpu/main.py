@@ -89,6 +89,7 @@ def run_experiments(configs: Dict[str, Any], org_path: str, sum_path: str,
             compute_dtype=configs.get("compute_dtype"),
             devices=configs.get("devices"),
             partition=configs.get("partition") or "halo",
+            reorder=bool(configs.get("reorder")),
             ckpt_dir=configs.get("ckpt_dir"),
             ckpt_every=configs.get("ckpt_every") or 0)
         trainer.ckpt_tag = j
@@ -173,6 +174,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["edge", "halo"],
                         help="edge: replicated features + psum; halo: "
                              "node-sharded with all_to_all boundary exchange")
+    parser.add_argument("-reorder", action="store_true",
+                        help="halo partition: relabel nodes by clustering "
+                             "(label propagation) first - shrinks the ICI "
+                             "halo exchange on community-structured graphs")
     parser.add_argument("-num_bases", type=int, default=None)
     parser.add_argument("-num_blocks", type=int, default=None)
     parser.add_argument("-synth_entities", type=int, default=2000)

@@ -16,6 +16,10 @@ from scaling_rgcn_training_tpu.parallel.spmd import (
     sharded_rgcn_conv,
     device_put_sharded_edges,
 )
+from scaling_rgcn_training_tpu.parallel.reorder import (
+    locality_reorder,
+    edge_cut_fraction,
+)
 from scaling_rgcn_training_tpu.parallel.halo import (
     HaloShardedEdges,
     halo_partition_edges,
@@ -34,4 +38,5 @@ __all__ = [
     "HaloShardedEdges", "halo_partition_edges", "halo_rgcn_conv",
     "halo_aggregate", "device_put_halo_edges", "pad_node_array",
     "padded_num_nodes", "node_sharding",
+    "locality_reorder", "edge_cut_fraction",
 ]

@@ -97,6 +97,7 @@ class Trainer:
                  compute_dtype: Optional[str] = None,
                  devices: Optional[int] = None,
                  partition: str = "halo",
+                 reorder: bool = False,
                  ckpt_dir: Optional[str] = None,
                  ckpt_every: int = 0) -> None:
         self.data = data
@@ -114,6 +115,10 @@ class Trainer:
         # path or "halo" node-partitioned all_to_all path); models run
         # unchanged via rgcn_conv's dispatch on the edge pytree type
         self.partition = partition if devices and devices > 1 else None
+        # locality-aware halo partition: relabel nodes by clustering before
+        # partitioning (parallel/reorder.py) — shrinks the ICI halo
+        # exchange on community-structured graphs
+        self.reorder = bool(reorder)
         self.mesh = None
         if devices and devices > 1:
             from scaling_rgcn_training_tpu.parallel import make_mesh
@@ -140,7 +145,8 @@ class Trainer:
         key = id(graph)
         if key not in self._device_graphs:
             self._device_graphs[key] = build_device_graph(
-                graph, mesh=self.mesh, partition=self.partition)
+                graph, mesh=self.mesh, partition=self.partition,
+                reorder=self.reorder)
         return self._device_graphs[key]
 
     def _mesh_scope(self):
@@ -154,19 +160,53 @@ class Trainer:
 
     def _pad_embedding(self, emb: jnp.ndarray, dev_graph: DeviceGraph,
                        true_n: int) -> jnp.ndarray:
-        """Pad the node axis to the halo partition's S*n_per table size.
+        """Pad (and, under a locality reorder, permute) the node axis to
+        the halo partition's S*n_per table size.
 
-        Node axis is -2 for stacked [K, N, d] embeddings, else 0."""
+        Node axis is -2 for stacked [K, N, d] embeddings, else 0. With
+        ``dev_graph.node_perm`` set, incoming rows are in true-node-id
+        order and the model table is in relabeled order: row ``perm[i]``
+        of the result is row ``i`` of the input."""
         from scaling_rgcn_training_tpu.graphs.device import model_num_nodes
 
         n_model = model_num_nodes(dev_graph)
         axis = emb.ndim - 2 if emb.ndim == 3 else 0
+        if dev_graph.node_perm is not None:
+            perm = np.asarray(dev_graph.node_perm)
+            moved = jnp.moveaxis(emb, axis, 0)
+            out = jnp.zeros((n_model,) + moved.shape[1:], emb.dtype)
+            out = out.at[perm].set(moved)
+            return jnp.moveaxis(out, 0, axis)
         extra = n_model - emb.shape[axis]
         if extra <= 0:
             return emb
         pad = [(0, 0)] * emb.ndim
         pad[axis] = (0, extra)
         return jnp.pad(emb, pad)
+
+    def _init_embedding_layout(self, emb: jnp.ndarray, dev_graph: DeviceGraph,
+                               true_n: int) -> jnp.ndarray:
+        """Lay out a freshly-initialized embedding for this graph's model
+        table. Under a locality reorder the first ``true_n`` rows are
+        treated as true-node-id order and scattered to their relabeled
+        rows, so a given seed assigns the same vector to the same node at
+        any device count (phantom rows become zeros — they carry no edges
+        or labels)."""
+        if dev_graph.node_perm is None:
+            return emb
+        axis = emb.ndim - 2 if emb.ndim == 3 else 0
+        true_rows = jax.lax.slice_in_dim(emb, 0, true_n, axis=axis)
+        return self._pad_embedding(true_rows, dev_graph, true_n)
+
+    @staticmethod
+    def _export_embedding(emb: jnp.ndarray, dev_graph: DeviceGraph,
+                          true_n: int) -> np.ndarray:
+        """Model-table rows -> true-node-id order, phantom rows dropped
+        (inverse of :meth:`_pad_embedding`'s layout)."""
+        arr = np.asarray(emb)
+        if dev_graph.node_perm is not None:
+            return arr[np.asarray(dev_graph.node_perm)]
+        return arr[:true_n]
 
     # -- core epoch loop (modelTrainer.py:41-74) ---------------------------
 
@@ -289,15 +329,17 @@ class Trainer:
             dg = self._device_graph(sg)
             # re-init the embedding for this summary's node count, keep trunk
             params = params._replace(
-                embedding=jax.random.normal(
+                embedding=self._init_embedding_layout(jax.random.normal(
                     self._next_rng(), (model_num_nodes(dg), self.emb_dim),
-                    jnp.float32))
+                    jnp.float32), dg, sg.num_nodes))
             params, *_ = self.fit(
                 params, model_heads.apply_emb_model, dg,
                 loss_fn, activation, sum_graph=True, verbose=verbose)
-            # drop halo-partition phantom rows before recording (transfer
-            # tricks index true node ids only)
-            sg.embedding = np.asarray(params.embedding)[:sg.num_nodes]
+            # drop halo-partition phantom rows (and undo any locality
+            # relabeling) before recording: transfer tricks index true
+            # node ids only
+            sg.embedding = self._export_embedding(params.embedding, dg,
+                                                  sg.num_nodes)
         self.sum_params = params
         if save_path:
             from scaling_rgcn_training_tpu.utils.checkpoint import save_transfer_state
@@ -358,6 +400,8 @@ class Trainer:
             self._next_rng(), og.num_relation_slots, self.hidden_l,
             self.data.num_classes, model_num_nodes(dev_graph), self.emb_dim,
             num_sums=num_sums, num_bases=self.num_bases, num_blocks=self.num_blocks)
+        params = params._replace(embedding=self._init_embedding_layout(
+            params.embedding, dev_graph, og.num_nodes))
 
         mask = jax.tree_util.tree_map(lambda _: True, params)
 
