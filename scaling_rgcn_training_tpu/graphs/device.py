@@ -63,7 +63,8 @@ def build_device_graph(graph: Graph, pad_to_multiple: int = 512,
         if reorder and partition == "halo":
             from scaling_rgcn_training_tpu.parallel.reorder import locality_reorder
 
-            node_perm = locality_reorder(src, dst, graph.num_nodes)
+            node_perm = locality_reorder(src, dst, graph.num_nodes,
+                                         num_shards=num_shards)
             src, dst = node_perm[src], node_perm[dst]
             remap = lambda a: None if a is None else node_perm[np.asarray(a)]
         if partition == "edge":
