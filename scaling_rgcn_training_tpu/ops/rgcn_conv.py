@@ -200,7 +200,8 @@ def build_rel_edges(
                           bucket_rows=int(_os.environ.get("RGCN_SPAN_FWD_S", 0)))
     bspan = plan_rel_span(dst[real], src[real], typ[real], norm[real],
                           num_nodes, num_slots,
-                          bucket_rows=int(_os.environ.get("RGCN_SPAN_BWD_S", 0)))
+                          bucket_rows=int(_os.environ.get("RGCN_SPAN_BWD_S", 0)),
+                          kspan=int(_os.environ.get("RGCN_SPAN_BWD_K", 0)))
 
     offsets = tuple(int(v) for v in np.concatenate([[0], np.cumsum(group_sizes)]))
     return RelEdges(

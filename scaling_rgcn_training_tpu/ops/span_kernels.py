@@ -52,7 +52,7 @@ import os as _os
 _DEF_CHUNK = int(_os.environ.get("RGCN_SPAN_CHUNK", 1024))
 _DEF_BUCKET_ROWS = int(_os.environ.get("RGCN_SPAN_BUCKET_ROWS", 512))
 _DEF_KSPAN = int(_os.environ.get("RGCN_SPAN_K", 16))
-_SUB = 512
+_SUB = int(_os.environ.get("RGCN_SPAN_SUB", 512))
 # above this many weight bytes the VMEM-resident stack no longer pays off
 _MAX_W_BYTES = int(_os.environ.get("RGCN_FUSED_MAX_W_BYTES", 6 << 20))
 
@@ -238,8 +238,11 @@ def _fwd_kernel(offs_ref, rbase_ref, code_ref, vals_ref, w_ref, g_ref,
                 vals, w_sl, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dtype)
             qcol = jax.lax.broadcasted_iota(jnp.int32, (sub, kq), 1)
-            relexp = (rel == qcol // d_out).astype(dtype)   # [sub, kq]
-            msg = jax.lax.dot((p_all * relexp).astype(dtype), g_ref[:],
+            # banded relation mask as ONE select (no separate 0/1 one-hot
+            # materialization + multiply: the kernels are VPU-bound)
+            p_sel = jnp.where(rel == qcol // d_out, p_all,
+                              jnp.zeros((), dtype))         # [sub, kq]
+            msg = jax.lax.dot(p_sel, g_ref[:],
                               preferred_element_type=jnp.float32
                               ).astype(dtype)               # [sub, d_out]
             # write-once scatter: out-of-bucket / padding keys self-mask
@@ -339,10 +342,12 @@ def _bwd_kernel(offs_ref, rbase_ref, code_ref, t_ref, x_ref, w_ref,
                              preferred_element_type=jnp.float32
                              ).astype(dtype)                # [sub, d_in]
             # banded mask M[e, q] = 1[rel_local == q // d_out] * t[e, q % d_out]
+            # as repeat + ONE select (VPU-bound: avoid a separate 0/1
+            # one-hot materialization and multiply)
             qcol = jax.lax.broadcasted_iota(jnp.int32, (sub, kq), 1)
-            relexp = (rel == qcol // d_out).astype(dtype)
             texp = pltpu.repeat(t, kspan, axis=1)           # t[e, q % d_out]
-            m_exp = (relexp * texp).astype(dtype)           # [sub, kq]
+            m_exp = jnp.where(rel == qcol // d_out, texp,
+                              jnp.zeros((), dtype))         # [sub, kq]
             dmsg = jax.lax.dot(m_exp, w_sl,
                                preferred_element_type=jnp.float32)
             dw_ref[pl.ds(rb * d_out, kq), :] += jax.lax.dot_general(

@@ -298,8 +298,22 @@ def halo_aggregate(
         # x_own [n_per, d]; plan rows arrive with a leading length-1 shard axis
         send = jnp.take(x_own, send_idx[0].reshape(-1), axis=0)      # [S*H, d]
         send = send.reshape(edges.num_shards, edges.halo, -1)
-        halo = jax.lax.all_to_all(send, EDGE_AXIS, split_axis=0,
-                                  concat_axis=0, tiled=False)
+        if _os.environ.get("RGCN_HALO_PALLAS_A2A"):
+            # experimental: the exchange as an explicit Pallas remote-DMA
+            # kernel (parallel/ring_halo.py) instead of lax.all_to_all
+            from scaling_rgcn_training_tpu.parallel.ring_halo import (
+                halo_exchange_pallas)
+
+            halo = halo_exchange_pallas(
+                send, EDGE_AXIS, jax.default_backend() != "tpu")
+        else:
+            halo = jax.lax.all_to_all(send, EDGE_AXIS, split_axis=0,
+                                      concat_axis=0, tiled=False)
+        # A/B ablation knob (scripts/measure_overlap.py): force the join
+        # BEFORE the owner-local aggregation, serializing exchange and
+        # compute — the "blocked" arm of the overlap measurement.
+        if _os.environ.get("RGCN_HALO_BLOCK_OVERLAP"):
+            x_own, halo = jax.lax.optimization_barrier((x_own, halo))
         # owner-local aggregation: independent of `halo`, so XLA's async
         # scheduler runs it while the exchange is in flight
         if use_fused:
