@@ -447,6 +447,17 @@ class Trainer:
 
     def evaluate_test(self, params, apply_fn, graph: DeviceGraph,
                       activation: str, report: bool = False) -> Tuple[float, float, float]:
+        """Test-split metrics (+ optional sklearn report, modelTrainer.py:112-114).
+
+        Cost note (distributed runs): the metric math itself stays on
+        device (``evaluate`` reduces to scalars), but this path runs ONCE
+        per training run outside the jitted scan, so XLA may gather the
+        node-sharded ``[N_pad, C]`` logits to index ``x_test`` — at AM
+        scale that is ~51 MB once per run; ``report=True`` additionally
+        pulls predictions to host for sklearn. The per-epoch validation
+        eval does NOT do this: it runs inside the jitted scan and carries
+        scalars only.
+        """
         with self._mesh_scope():
             logits = apply_fn(params, graph.edges, train=False, backend=self.backend,
                               compute_dtype=self.compute_dtype)

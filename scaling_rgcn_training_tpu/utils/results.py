@@ -40,36 +40,48 @@ class Results:
         self.test_f1_weighted[f"Test F1 weighted {exp}"].append(f1_w)
         self.test_f1_macro[f"Test F1 macro {exp}"].append(f1_m)
 
-    # -- aggregation (results.py:39-46) ------------------------------------
+    # -- aggregation: mean +/- std band per metric across iterations --------
+    # (output-schema parity with reference results.py:39-46: three rounded
+    # series [mean, mean-std, mean+std])
+
+    @staticmethod
+    def _band(array_list: List[np.ndarray]) -> List[list]:
+        arr = np.asarray(array_list, dtype=np.float64)
+        mu, sd = arr.mean(axis=0), arr.std(axis=0)
+        return [list(np.around(series, 4)) for series in (mu, mu - sd, mu + sd)]
 
     def make_av_run_results(self) -> None:
-        for exp, value in self.run_results.items():
-            for metric, array_list in value.items():
-                arr = np.array(array_list)
-                mean_arr = np.mean(arr, axis=0)
-                std_arr = np.std(arr, axis=0)
-                self.run_results[exp][metric] = [
-                    list(np.around(mean_arr, 4)),
-                    list(np.around(mean_arr - std_arr, 4)),
-                    list(np.around(mean_arr + std_arr, 4)),
-                ]
+        self.run_results = {
+            exp: {metric: self._band(runs) for metric, runs in value.items()}
+            for exp, value in self.run_results.items()
+        }
 
-    # -- report (results.py:48-68) -----------------------------------------
+    # -- report: best-epoch + test mean/std, percent scale -------------------
+    # (schema parity with reference results.py:48-68, including its
+    # ``epoch - 1`` convention: the reference evaluates validation BEFORE
+    # the epoch's update, so series index e reflects e prior updates)
+
+    @staticmethod
+    def _peak(series: list) -> Dict[str, Any]:
+        best = int(np.argmax(series))
+        return {"epoch": best - 1, "max": round(float(series[best]) * 100, 2)}
+
+    @staticmethod
+    def _pct_stats(values: List[float]) -> Dict[str, float]:
+        pct = np.asarray(values, dtype=np.float64) * 100
+        return {"mean": round(float(pct.mean()), 2),
+                "std": round(float(pct.std()), 2)}
 
     def create_run_report(self, path: str, configs: Dict[str, Any]) -> None:
         report: Dict[str, Any] = defaultdict(dict)
-        report.update({k: v for k, v in configs.items()})
+        report.update(configs)
         for experiment, metric_results in self.run_results.items():
             for metric, results in metric_results.items():
-                max_metric = max(results[0])
-                epoch = int(results[0].index(max_metric)) - 1
-                report[experiment][metric] = {
-                    "epoch": epoch, "max": round(max_metric * 100, 2)}
-        for test_dict in [self.test_accs, self.test_f1_weighted, self.test_f1_macro]:
-            for experiment, results in test_dict.items():
-                avg = round(float((sum(results) / len(results)) * 100), 2)
-                std = round(float(np.std(np.array(results) * 100)), 2)
-                report[experiment] = {"mean": avg, "std": std}
+                report[experiment][metric] = self._peak(results[0])
+        for test_dict in (self.test_accs, self.test_f1_weighted,
+                          self.test_f1_macro):
+            report.update({exp: self._pct_stats(vals)
+                           for exp, vals in test_dict.items()})
         with open(f'{path}/report_{configs["exp"]}_{configs["sum"]}_i={configs["i"]}.json',
                   "w") as fh:
             json.dump(report, fh, indent=4, default=str)

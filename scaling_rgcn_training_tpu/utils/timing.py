@@ -22,14 +22,14 @@ def seconds_to_str(elapsed: float | None = None) -> str:
     return str(timedelta(seconds=elapsed))
 
 
+_RULE = 40 * "="
+
+
 def log(s: str, elapsed: str | None = None) -> None:
-    line = "=" * 40
-    print(line)
-    print(seconds_to_str(), "-", s)
+    body = [f"{seconds_to_str()} - {s}"]
     if elapsed:
-        print("Elapsed time:", elapsed)
-    print(line)
-    print("")
+        body.append(f"Elapsed time: {elapsed}")
+    print("\n".join([_RULE, *body, _RULE, ""]))
 
 
 def endlog() -> None:
