@@ -49,23 +49,57 @@ hl = int(os.environ.get("BENCH_HIDDEN", 16))
 c = 8
 inner = int(os.environ.get("BENCH_INNER", 5))
 calls = int(os.environ.get("BENCH_CALLS", 3))
+# Graph structure: "sbm" (default) is the representative case — real RDF
+# KGs are community-structured, which is the premise of the locality
+# reorder (parallel/reorder.py); "random" is the locality-free worst case
+# where any partition cuts ~(S-1)/S of the edges.
+graph_kind = os.environ.get("BENCH_GRAPH", "sbm")
+use_reorder = os.environ.get("BENCH_REORDER", "1") != "0"
 
 rng = np.random.default_rng(0)
-src = rng.integers(0, n, e).astype(np.int32)
-dst = rng.integers(0, n, e).astype(np.int32)
+if graph_kind == "sbm":
+    n_comm = int(os.environ.get("BENCH_COMMUNITIES", 64))
+    p_in = float(os.environ.get("BENCH_P_IN", 0.9))
+    comm = rng.integers(0, n_comm, n)
+    order_c = np.argsort(comm, kind="stable")
+    csize = np.bincount(comm, minlength=n_comm)
+    coff = np.concatenate([[0], np.cumsum(csize)])
+    intra = rng.random(e) < p_in
+    ei = int(intra.sum())
+    ci_ = rng.integers(0, n_comm, ei)
+    pick = lambda: order_c[coff[ci_]
+                           + (rng.random(ei) * csize[ci_]).astype(np.int64)]
+    src = np.empty(e, np.int64)
+    dst = np.empty(e, np.int64)
+    src[intra], dst[intra] = pick(), pick()
+    m = e - ei
+    src[~intra] = rng.integers(0, n, m)
+    dst[~intra] = rng.integers(0, n, m)
+    src = src.astype(np.int32)
+    dst = dst.astype(np.int32)
+else:
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
 typ = rng.integers(0, 2 * r, e).astype(np.int32)
 slots = 2 * r + 1
 
 avail = len(jax.devices())
 counts = [k for k in (1, 2, 4, 8, 16, 32) if k <= avail]
-print(f"backend={jax.default_backend()} devices={avail} -> {counts}",
-      file=sys.stderr, flush=True)
+print(f"backend={jax.default_backend()} devices={avail} -> {counts} "
+      f"graph={graph_kind} reorder={use_reorder}", file=sys.stderr, flush=True)
 
 base_eps = None
 for k in counts:
     mesh = make_mesh(k)
+    src_k, dst_k = src, dst
+    if use_reorder and k > 1:
+        from scaling_rgcn_training_tpu.parallel import locality_reorder
+
+        perm = locality_reorder(src, dst, n, num_shards=k)
+        src_k, dst_k = perm[src], perm[dst]
     hedges = device_put_halo_edges(
-        halo_partition_edges(src, dst, typ, n, slots, k, pad_to_multiple=512),
+        halo_partition_edges(src_k, dst_k, typ, n, slots, k,
+                             pad_to_multiple=512),
         mesh)
     n_pad = padded_num_nodes(hedges)
     emb = jax.device_put(jax.random.normal(jax.random.key(0), (n_pad, d)),

@@ -61,13 +61,21 @@ print(f"N={n} E={e} (fwd span pad {fsp.padded_edges}, K={fsp.kspan}) "
       f"backend={jax.default_backend()}", flush=True)
 
 
-def timeit(name, fn, *args):
+def timeit(name, fn, *args, nudge=False):
+    """``nudge=True`` threads the scan carry through the first operand
+    (one extra elementwise pass over it): REQUIRED for composite XLA
+    computations, which are loop-invariant otherwise and get hoisted out
+    of the scan (the r2-era composite "aggregate" rows were corrupted by
+    this). Kernel-only and gather-only rows don't need it — XLA does not
+    hoist Pallas custom calls, and their un-nudged timings match the
+    nudged microbenchmarks."""
     if only and only not in name:
         return None
 
     def run(c, *a):
         def b(cc, _):
-            out = fn(*a)
+            a0 = a[0] * (1 + 1e-12 * cc).astype(a[0].dtype) if nudge else a[0]
+            out = fn(a0, *a[1:])
             first = out[0] if isinstance(out, tuple) else out
             return cc + first.ravel()[0].astype(jnp.float32), None
         return lax.scan(b, c, None, length=inner)[0]
@@ -116,10 +124,10 @@ def agg_fb(xx, ww):
     return jax.grad(loss, argnums=(0, 1))(xx, ww)[0]
 
 
-timeit("L1 aggregate fwd (fused) f32", agg_fwd, x, w)
-timeit("L1 aggregate fwd+bwd (fused) f32", agg_fb, x, w)
+timeit("L1 aggregate fwd (fused) f32", agg_fwd, x, w, nudge=True)
+timeit("L1 aggregate fwd+bwd (fused) f32", agg_fb, x, w, nudge=True)
 timeit("L1 aggregate fwd+bwd (fused) bf16",
-       agg_fb, x.astype(bf), w.astype(bf))
+       agg_fb, x.astype(bf), w.astype(bf), nudge=True)
 
 # -- layer 2 shape: d_in=16, d_out=8 ------------------------------------------
 timeit("L2 span fwd kernel f32",
