@@ -346,8 +346,8 @@ def _aggregate_fwd_impl(x, w, edges: RelEdges, mode, backend):
         from scaling_rgcn_training_tpu.ops.span_kernels import rel_span_matmul_scatter
 
         span = edges.fspan
-        vals = jnp.take(x, span.gather_idx, axis=0) \
-            * span.norm[:, None].astype(x.dtype)
+        # standalone pure gather; the kernel applies span.norm itself
+        vals = jnp.take(x, span.gather_idx, axis=0)
         return rel_span_matmul_scatter(vals, span, w).astype(acc)
     if mode == "prematmul":
         slots = w.shape[0]
@@ -414,8 +414,7 @@ def _aggregate_bwd(mode, backend, res, g_out):
         # the small [N, d_out] table in span order — cheaper than permuting
         # the [E, d_out] message stream.
         span = edges.bspan
-        t = (jnp.take(g_out, span.gather_idx, axis=0)
-             * span.norm[:, None]).astype(w.dtype)
+        t = jnp.take(g_out, span.gather_idx, axis=0).astype(w.dtype)
         dx, dw = rel_span_backward_scatter(t, span, x, w)
         dx = dx.astype(x.dtype)
         dw = dw.astype(w.dtype)

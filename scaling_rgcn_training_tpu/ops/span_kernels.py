@@ -209,9 +209,9 @@ def plan_rel_span(
 
 # -- forward: msg_e = vals_e @ W[rel_e]; out[key_e] += msg_e ------------------
 
-def _fwd_kernel(offs_ref, rbase_ref, code_ref, vals_ref, w_ref, g_ref,
-                out_ref, *, s: int, chunk: int, d_out: int, shift: int,
-                kq: int, max_chunks: int):
+def _fwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, vals_ref, w_ref,
+                g_ref, out_ref, *, s: int, chunk: int, d_out: int,
+                shift: int, kq: int, max_chunks: int):
     j = pl.program_id(0)
     ci = pl.program_id(1)
     e_lo = offs_ref[j]
@@ -245,21 +245,29 @@ def _fwd_kernel(offs_ref, rbase_ref, code_ref, vals_ref, w_ref, g_ref,
             msg = jax.lax.dot(p_sel, g_ref[:],
                               preferred_element_type=jnp.float32
                               ).astype(dtype)               # [sub, d_out]
-            # write-once scatter: out-of-bucket / padding keys self-mask
+            # write-once scatter with the mean-norm FOLDED INTO the scatter
+            # one-hot (norm-valued instead of 0/1 — zero extra VPU passes;
+            # this keeps the XLA-side source gather a standalone pure
+            # gather). Out-of-bucket / padding keys self-mask; padding rows
+            # also carry norm = 0.
             local = jax.lax.shift_right_logical(code, shift) - j * s
             scol = jax.lax.broadcasted_iota(jnp.int32, (sub, s), 1)
-            keyhot = (local == scol).astype(dtype)          # [sub, s]
+            nrm = norm_ref[sl, 0][:, None].astype(dtype)    # [sub, 1]
+            valhot = jnp.where(local == scol, nrm,
+                               jnp.zeros((), dtype))        # [sub, s]
             out_ref[:] += jax.lax.dot_general(
-                keyhot, msg, dimension_numbers=(((0,), (0,)), ((), ())),
+                valhot, msg, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def rel_span_matmul_scatter(vals: jnp.ndarray, span: RelSpanEdges,
                             w: jnp.ndarray) -> jnp.ndarray:
-    """``out[k] = sum_{e: key_e = k} vals_e @ w[rel_e]``.
+    """``out[k] = sum_{e: key_e = k} norm_e * (vals_e @ w[rel_e])``.
 
-    ``vals [Ep, d_in]`` in span order (pre-scaled by the mean-norm; padding
-    rows zero), ``w [slots, d_in, d_out]`` -> ``[M, d_out]`` float32.
+    ``vals [Ep, d_in]`` RAW gathered rows in span order (the kernel applies
+    ``span.norm`` itself, folded into the scatter one-hot — keeping the
+    caller's gather a standalone pure gather), ``w [slots, d_in, d_out]``
+    -> ``[M, d_out]`` float32.
     """
     _, d_in = vals.shape
     slots, _, d_out = w.shape
@@ -287,6 +295,7 @@ def rel_span_matmul_scatter(vals: jnp.ndarray, span: RelSpanEdges,
         grid=(num_buckets, span.max_chunks),
         in_specs=[
             pl.BlockSpec((chunk, 1), edge_block),
+            pl.BlockSpec((chunk, 1), edge_block),
             pl.BlockSpec((chunk, d_in), edge_block),
             const_block((slots * d_out, d_in)),
             const_block((kq, d_out)),
@@ -299,14 +308,15 @@ def rel_span_matmul_scatter(vals: jnp.ndarray, span: RelSpanEdges,
                           max_chunks=span.max_chunks),
         out_shape=jax.ShapeDtypeStruct((m_pad, d_out), jnp.float32),
         grid_spec=grid_spec,
-    )(span.offsets, span.rbase, span.code.reshape(-1, 1), vals, w_flat, g_mat)
+    )(span.offsets, span.rbase, span.code.reshape(-1, 1),
+      span.norm.reshape(-1, 1), vals, w_flat, g_mat)
     return out[:span.num_segments]
 
 
 # -- backward: dx[src] += t_e @ W[rel_e]^T ; dW[rel_e] += x[src_e]^T t_e ------
 
-def _bwd_kernel(offs_ref, rbase_ref, code_ref, t_ref, x_ref, w_ref,
-                dx_ref, dw_ref, *, s: int, chunk: int, d_out: int,
+def _bwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, t_ref, x_ref,
+                w_ref, dx_ref, dw_ref, *, s: int, chunk: int, d_out: int,
                 shift: int, kq: int, max_chunks: int, slots: int):
     j = pl.program_id(0)
     ci = pl.program_id(1)
@@ -331,7 +341,10 @@ def _bwd_kernel(offs_ref, rbase_ref, code_ref, t_ref, x_ref, w_ref,
         sub = min(chunk, _SUB)
         for q in range(chunk // sub):
             sl = pl.ds(q * sub, sub)
-            t = t_ref[sl, :]                                # [sub, d_out]
+            # apply the mean-norm to the RAW gathered cotangent rows here
+            # (one [sub, d_out] multiply) so the XLA-side gather stays a
+            # standalone pure gather; padding rows carry norm = 0
+            t = t_ref[sl, :] * norm_ref[sl, 0][:, None].astype(dtype)
             code = code_ref[sl, 0][:, None]                 # [sub, 1]
             rel = jnp.bitwise_and(code, (1 << shift) - 1) - rb
             # src one-hot: out-of-bucket / padding rows self-mask (t = 0)
@@ -364,9 +377,10 @@ def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
                               ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Both aggregation gradients in one pass over src-bucketed edges.
 
-    ``t [Ep, d_out]`` = ``norm_e * g_out[dst_e]`` in span order (padding
-    rows zero), ``x [N, d_in]`` node features, ``w [slots, d_in, d_out]``.
-    Returns ``dx [N, d_in]`` f32 and ``dw [slots, d_in, d_out]`` f32.
+    ``t [Ep, d_out]`` = RAW ``g_out[dst_e]`` rows in span order (the
+    kernel applies ``span.norm`` itself), ``x [N, d_in]`` node features,
+    ``w [slots, d_in, d_out]``. Returns ``dx [N, d_in]`` f32 and
+    ``dw [slots, d_in, d_out]`` f32.
     """
     _, d_out = t.shape
     slots, d_in, _ = w.shape
@@ -392,6 +406,7 @@ def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
         grid=(num_buckets, span.max_chunks),
         in_specs=[
             pl.BlockSpec((chunk, 1), edge_block),
+            pl.BlockSpec((chunk, 1), edge_block),
             pl.BlockSpec((chunk, d_out), edge_block),
             pl.BlockSpec((s, d_in), lambda j, ci, offs, rb: (j, 0)),
             const_block((rq, d_in)),
@@ -410,7 +425,8 @@ def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
             jax.ShapeDtypeStruct((rq, d_in), jnp.float32),
         ],
         grid_spec=grid_spec,
-    )(span.offsets, span.rbase, span.code.reshape(-1, 1), t, x_pad, w_flat)
+    )(span.offsets, span.rbase, span.code.reshape(-1, 1),
+      span.norm.reshape(-1, 1), t, x_pad, w_flat)
     dw = jnp.transpose(dw_flat.reshape(slots, d_out, d_in), (0, 2, 1))
     return dx[:span.num_segments], dw
 
@@ -436,16 +452,16 @@ def span_aggregate(x, w, fspan: RelSpanEdges, bspan: RelSpanEdges):
 
 def _span_agg_fwd(x, w, fspan, bspan):
     acc = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else x.dtype
-    vals = jnp.take(x, fspan.gather_idx, axis=0) \
-        * fspan.norm[:, None].astype(x.dtype)
+    # standalone pure gather (no fused scale): XLA's fast row-gather path;
+    # the kernel applies fspan.norm itself
+    vals = jnp.take(x, fspan.gather_idx, axis=0)
     out = rel_span_matmul_scatter(vals, fspan, w).astype(acc)
     return out, (x, w, bspan)
 
 
 def _span_agg_bwd(res, g_out):
     x, w, bspan = res
-    t = (jnp.take(g_out, bspan.gather_idx, axis=0)
-         * bspan.norm[:, None]).astype(w.dtype)
+    t = jnp.take(g_out, bspan.gather_idx, axis=0).astype(w.dtype)
     dx, dw = rel_span_backward_scatter(t, bspan, x, w)
     return dx.astype(x.dtype), dw.astype(w.dtype), None, None
 

@@ -80,8 +80,8 @@ def test_rel_span_matmul_scatter(n, e, slots, d_in, d_out, k, dtype, rtol, atol)
 
     span = plan_rel_span(src, dst, rel, norm, n, slots,
                          bucket_rows=64, chunk=128, kspan=k)
-    vals = (x[np.asarray(span.gather_idx)]
-            * np.asarray(span.norm)[:, None]).astype(np.float32)
+    # RAW gathered rows: the kernel applies span.norm itself
+    vals = x[np.asarray(span.gather_idx)].astype(np.float32)
     out = rel_span_matmul_scatter(jnp.asarray(vals, dtype), span,
                                   jnp.asarray(w, dtype))
     assert out.dtype == jnp.float32
@@ -111,8 +111,8 @@ def test_rel_span_backward_scatter(n, e, slots, d_in, d_out, k, dtype, rtol, ato
     # backward direction: bucket by src, gather the cotangent via dst
     span = plan_rel_span(dst, src, rel, norm, n, slots,
                          bucket_rows=64, chunk=128, kspan=k)
-    t = (g_out[np.asarray(span.gather_idx)]
-         * np.asarray(span.norm)[:, None]).astype(np.float32)
+    # RAW gathered cotangent rows: the kernel applies span.norm itself
+    t = g_out[np.asarray(span.gather_idx)].astype(np.float32)
     dx, dw = rel_span_backward_scatter(jnp.asarray(t, dtype), span,
                                        jnp.asarray(x, dtype),
                                        jnp.asarray(w, dtype))
