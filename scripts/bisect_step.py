@@ -67,69 +67,83 @@ def nudge(c, a):
     return a * (1 + 1e-12 * c).astype(a.dtype)
 
 
-def fn_kernels(c):
-    out = rel_span_matmul_scatter(nudge(c, vals0), fsp, w)
-    dx, dw = rel_span_backward_scatter(nudge(c, t0_), bsp, x, w)
+# the big arrays (edge plans, streams, node tables) must be jit ARGUMENTS
+# — closing over them embeds them as HLO constants, which blows up the
+# axon remote-compile payload (HTTP 413) and compile time
+
+
+def fn_kernels(c, ops):
+    out = rel_span_matmul_scatter(nudge(c, ops["vals0"]), ops["fsp"], ops["w"])
+    dx, dw = rel_span_backward_scatter(nudge(c, ops["t0"]), ops["bsp"],
+                                       ops["x"], ops["w"])
     return out.ravel()[0] + dx.ravel()[0] + dw.ravel()[0]
 
 
-def fn_nonorm(c):
-    xx = nudge(c, x)
-    vals = jnp.take(xx, fsp.gather_idx, axis=0)
-    out = rel_span_matmul_scatter(vals, fsp, w)
-    t = jnp.take(nudge(c, g_out), bsp.gather_idx, axis=0).astype(bf)
-    dx, dw = rel_span_backward_scatter(t, bsp, xx, w)
+def fn_nonorm(c, ops):
+    xx = nudge(c, ops["x"])
+    vals = jnp.take(xx, ops["fsp"].gather_idx, axis=0)
+    out = rel_span_matmul_scatter(vals, ops["fsp"], ops["w"])
+    t = jnp.take(nudge(c, ops["g_out"]), ops["bsp"].gather_idx,
+                 axis=0).astype(bf)
+    dx, dw = rel_span_backward_scatter(t, ops["bsp"], xx, ops["w"])
     return out.ravel()[0] + dx.ravel()[0] + dw.ravel()[0]
 
 
-def fn_full(c):
-    xx = nudge(c, x)
-    vals = jnp.take(xx, fsp.gather_idx, axis=0) * fsp.norm[:, None].astype(bf)
-    out = rel_span_matmul_scatter(vals, fsp, w)
-    t = (jnp.take(nudge(c, g_out), bsp.gather_idx, axis=0)
-         * bsp.norm[:, None]).astype(bf)
-    dx, dw = rel_span_backward_scatter(t, bsp, xx, w)
+def fn_full(c, ops):
+    fsp_, bsp_ = ops["fsp"], ops["bsp"]
+    xx = nudge(c, ops["x"])
+    vals = jnp.take(xx, fsp_.gather_idx, axis=0) \
+        * fsp_.norm[:, None].astype(bf)
+    out = rel_span_matmul_scatter(vals, fsp_, ops["w"])
+    t = (jnp.take(nudge(c, ops["g_out"]), bsp_.gather_idx, axis=0)
+         * bsp_.norm[:, None]).astype(bf)
+    dx, dw = rel_span_backward_scatter(t, bsp_, xx, ops["w"])
     return out.ravel()[0] + dx.ravel()[0] + dw.ravel()[0]
 
 
-def fn_grad(c):
-    xx = nudge(c, x)
+def fn_grad(c, ops):
+    xx = nudge(c, ops["x"])
 
     def loss(a, b):
-        return span_aggregate(a, b, fsp, bsp).sum()
+        return span_aggregate(a, b, ops["fsp"], ops["bsp"]).sum()
 
-    l, (dx, dw) = jax.value_and_grad(loss, argnums=(0, 1))(xx, w)
+    l, (dx, dw) = jax.value_and_grad(loss, argnums=(0, 1))(xx, ops["w"])
     return l + dx.ravel()[0].astype(jnp.float32) + dw.ravel()[0].astype(jnp.float32)
 
 
-def fn_gradroot(c):
-    xx = nudge(c, x)
+def fn_gradroot(c, ops):
+    xx = nudge(c, ops["x"])
 
     def loss(a, b, rt):
-        z = span_aggregate(a, b, fsp, bsp) + a.astype(jnp.float32) @ rt
+        z = span_aggregate(a, b, ops["fsp"], ops["bsp"]) \
+            + a.astype(jnp.float32) @ rt
         return jax.nn.relu(z).sum()
 
-    l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(xx, w, root)
+    l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+        xx, ops["w"], ops["root"])
     return l + sum(g.ravel()[0].astype(jnp.float32) for g in grads)
 
 
 fn = {"kernels": fn_kernels, "nonorm": fn_nonorm, "full": fn_full,
       "grad": fn_grad, "gradroot": fn_gradroot}[variant]
 
+ops = {"x": x, "w": w, "g_out": g_out, "vals0": vals0, "t0": t0_,
+       "root": root, "fsp": fsp, "bsp": bsp}
+
 
 @jax.jit
-def run(c):
+def run(c, ops):
     def b(cc, _):
-        return cc + fn(cc).astype(jnp.float32), None
+        return cc + fn(cc, ops).astype(jnp.float32), None
     return lax.scan(b, c, None, length=inner)[0]
 
 
 t0 = time.perf_counter()
-o = run(jnp.float32(0)); jax.block_until_ready(o)
+o = run(jnp.float32(0), ops); jax.block_until_ready(o)
 print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
 best = 1e9
 for _ in range(3):
     t0 = time.perf_counter()
-    o = run(o); jax.block_until_ready(o)
+    o = run(o, ops); jax.block_until_ready(o)
     best = min(best, (time.perf_counter() - t0) / inner)
 print(f"{variant:10s} {best*1e3:8.2f} ms", flush=True)
