@@ -253,8 +253,10 @@ def _fwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, vals_ref, w_ref,
             local = jax.lax.shift_right_logical(code, shift) - j * s
             scol = jax.lax.broadcasted_iota(jnp.int32, (sub, s), 1)
             nrm = norm_ref[sl, 0][:, None].astype(dtype)    # [sub, 1]
-            valhot = jnp.where(local == scol, nrm,
-                               jnp.zeros((), dtype))        # [sub, s]
+            # compare-cast-multiply, NOT where(mask, nrm, 0): Mosaic cannot
+            # lane-replicate the i1 mask against a [sub, 1] operand
+            # ("Invalid relayout ... vector<512x512xi1>")
+            valhot = (local == scol).astype(dtype) * nrm    # [sub, s]
             out_ref[:] += jax.lax.dot_general(
                 valhot, msg, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(out_ref.dtype)
