@@ -89,6 +89,12 @@ def main() -> None:
 
     inner = int(os.environ.get("BENCH_INNER", 10))
 
+    def _fetch(p, loss):
+        # one param element: transitively waits for the whole step chain
+        # (fetching only `loss` would miss the last backward+Adam tail)
+        float(jax.tree_util.tree_leaves(p)[0].ravel()[0])
+        float(loss)
+
     def make_step(apply):
         """jit of `inner` chained train steps (lax.scan). Edge arrays are
         jit ARGUMENTS — closing over large device arrays embeds them as HLO
@@ -117,12 +123,12 @@ def main() -> None:
     def time_steps(run, params, opt_state, n_calls):
         t0 = time.perf_counter()
         p, s, loss = run(params, opt_state, edges)  # compile + warmup
-        jax.block_until_ready(p)
+        _fetch(p, loss)  # forced fetch: block_until_ready under-blocks on axon
         log(f"  compile+first call: {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         for _ in range(n_calls):
             p, s, loss = run(p, s, edges)
-        jax.block_until_ready(p)
+            _fetch(p, loss)  # forced fetch each call: true device completion
         return (time.perf_counter() - t0) / (n_calls * inner), float(loss)
 
     # --- TPU-native path ---------------------------------------------------

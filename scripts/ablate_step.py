@@ -114,15 +114,21 @@ def run(p, s, ed):
     return p, s, losses[-1]
 
 
+def _fetch(p, loss):
+    # one param element: transitively waits for the whole step chain
+    float(jax.tree_util.tree_leaves(p)[0].ravel()[0])
+    float(loss)
+
+
 print(f"variant={variant} cd={cd} N={n} E={e} slots={slots} d={d} hl={hl} "
       f"l1mode={_edge_traffic_mode(n, slots, len(edges.src), d, hl)}", flush=True)
 t0 = time.perf_counter()
 p, s, loss = run(params, opt_state, edges)
-jax.block_until_ready(p)
+_fetch(p, loss)  # forced fetch: block_until_ready under-blocks on axon
 print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
 t0 = time.perf_counter()
 for _ in range(calls):
     p, s, loss = run(p, s, edges)
-jax.block_until_ready(p)
+    _fetch(p, loss)  # forced fetch each call: true device completion
 dt = (time.perf_counter() - t0) / (calls * inner)
 print(f"{variant:14s} {dt*1e3:8.2f} ms/step  loss={float(loss):.5f}", flush=True)

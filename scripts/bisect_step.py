@@ -139,11 +139,12 @@ def run(c, ops):
 
 
 t0 = time.perf_counter()
-o = run(jnp.float32(0), ops); jax.block_until_ready(o)
+o = run(jnp.float32(0), ops); float(o)  # forced fetch: block_until_ready under-blocks on axon
 print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
 best = 1e9
 for _ in range(3):
     t0 = time.perf_counter()
-    o = run(o, ops); jax.block_until_ready(o)
+    o = run(o, ops); float(o)  # forced fetch: block_until_ready under-blocks on axon
     best = min(best, (time.perf_counter() - t0) / inner)
-print(f"{variant:10s} {best*1e3:8.2f} ms", flush=True)
+print(f"{variant:10s} {best*1e3:8.2f} ms   (check value: {float(o):.6g})",
+      flush=True)

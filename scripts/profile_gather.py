@@ -55,12 +55,12 @@ def timeit(name, idx, x):
 
     g = jax.jit(run)
     t0 = time.perf_counter()
-    o = g(jnp.float32(0), x); jax.block_until_ready(o)
+    o = g(jnp.float32(0), x); float(o)  # forced fetch: block_until_ready under-blocks on axon
     tc = time.perf_counter() - t0
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        o = g(o, x); jax.block_until_ready(o)
+        o = g(o, x); float(o)  # forced fetch: block_until_ready under-blocks on axon
         best = min(best, (time.perf_counter() - t0) / inner)
     rate = e / best / 1e6
     print(f"{name:38s} {best*1e3:8.2f} ms  {rate:7.0f} M rows/s  "

@@ -51,12 +51,12 @@ def timeit(name, fn, *args):
 
     g = jax.jit(run)
     t0 = time.perf_counter()
-    o = g(jnp.float32(0), *args); jax.block_until_ready(o)
+    o = g(jnp.float32(0), *args); float(o)  # forced fetch: block_until_ready under-blocks on axon
     tc = time.perf_counter() - t0
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        o = g(o, *args); jax.block_until_ready(o)
+        o = g(o, *args); float(o)  # forced fetch: block_until_ready under-blocks on axon
         best = min(best, (time.perf_counter() - t0) / inner)
     print(f"{name:44s} {best*1e3:8.2f} ms  {e/best/1e6:7.0f} M rows/s  "
           f"(compile {tc:4.1f}s)", flush=True)
