@@ -116,7 +116,6 @@ def plan_rel_span(
     relation would overflow the band. Buckets are padded to whole chunks.
     """
     s = bucket_rows or _DEF_BUCKET_ROWS
-    chunk = chunk or _DEF_CHUNK
     kspan = min(kspan or _DEF_KSPAN, num_slots)
     gather_idx = np.asarray(gather_idx, np.int32)
     key = np.asarray(key, np.int64)
@@ -133,6 +132,41 @@ def plan_rel_span(
     bucket = (key // s).astype(np.int64)
     b_start = np.searchsorted(bucket, np.arange(num_buckets), side="left")
     b_end = np.searchsorted(bucket, np.arange(num_buckets), side="right")
+
+    if not chunk and len(rel) == 0:
+        chunk = _DEF_CHUNK
+    if not chunk:
+        # Adaptive chunk: every maximal kspan-relation band rounds up to a
+        # whole chunk, so sparse (bucket, band) runs — many relation slots,
+        # few edges each — can blow padding up (measured: AM shape, 267
+        # slots, pads 12M -> 54M at chunk=1024). Estimate the band-length
+        # distribution once (vectorized: a band closes where the relation
+        # jumps past band_start + kspan within a bucket) and pick the
+        # candidate chunk minimizing padded size, preferring larger chunks
+        # within 10% (fewer grid steps).
+        new_bucket = np.r_[True, np.diff(bucket) != 0]
+        band_of = np.empty(len(rel), np.int64)
+        n_bands = 0
+        lens: list[int] = []
+        # per-bucket scan over relation-GROUP boundaries only (cheap):
+        grp = np.flatnonzero(np.r_[True, (np.diff(rel) != 0)] | new_bucket)
+        grp_end = np.r_[grp[1:], len(rel)]
+        band_start_rel = -(10 ** 9)
+        cur = 0
+        for g0, g1 in zip(grp, grp_end):
+            if new_bucket[g0] or rel[g0] - band_start_rel >= kspan:
+                if cur:
+                    lens.append(cur)
+                cur = 0
+                band_start_rel = int(rel[g0])
+            cur += g1 - g0
+        if cur:
+            lens.append(cur)
+        bl = np.asarray(lens, np.int64)
+        cands = [c for c in (1024, 512, 256) if c >= 256]
+        padded = {c: int((-(-bl // c) * c).sum()) for c in cands}
+        best = min(padded.values())
+        chunk = max(c for c in cands if padded[c] <= 1.1 * best)
 
     out_g, out_c, out_n = [], [], []
     offsets = [0]

@@ -206,14 +206,17 @@ def halo_partition_edges(
         # mode): fwd keyed by dst; bwd keyed by the gradient's target rows
         # (x_own rows for the local segment, halo-buffer rows for the halo
         # segment — its dx transposes back through the all_to_all)
+        # shard 0 picks the (adaptive) chunk; later shards reuse it so the
+        # stacked plans agree (stack_spans asserts a common chunk)
+        ch = lambda plans: plans[0].chunk if plans else 0
         lf_plans.append(plan_rel_span(l_src, l_dst, typ_s[own], norm_s[own],
-                                      n_per, num_slots))
+                                      n_per, num_slots, chunk=ch(lf_plans)))
         lb_plans.append(plan_rel_span(l_dst, l_src, typ_s[own], norm_s[own],
-                                      n_per, num_slots))
+                                      n_per, num_slots, chunk=ch(lb_plans)))
         hf_plans.append(plan_rel_span(loc, h_dst, typ_s[rem], norm_s[rem],
-                                      n_per, num_slots))
+                                      n_per, num_slots, chunk=ch(hf_plans)))
         hb_plans.append(plan_rel_span(h_dst, loc, typ_s[rem], norm_s[rem],
-                                      s_n * h, num_slots))
+                                      s_n * h, num_slots, chunk=ch(hb_plans)))
 
     return HaloShardedEdges(
         lfspan=stack_spans(lf_plans), lbspan=stack_spans(lb_plans),

@@ -94,10 +94,6 @@ def nud(c, a):
     return a * (1 + 1e-12 * c).astype(a.dtype)
 
 
-# nudge passes cost one r/w over the nudged array; report it for reference
-timeit("nudge vals_d only (overhead ref)",
-       lambda c, o: nud(c, o["vals_d"]).ravel()[0])
-
 timeit("L1 fwd kernel", lambda c, o: rel_span_matmul_scatter(
     nud(c, o["vals_d"]), o["fsp"], o["w"]).ravel()[0])
 timeit("L2 fwd kernel", lambda c, o: rel_span_matmul_scatter(
