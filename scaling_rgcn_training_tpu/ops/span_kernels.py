@@ -126,9 +126,38 @@ def plan_rel_span(
     assert (num_segments << shift) < 2**31
 
     num_buckets = -(-num_segments // s)
-    order = np.lexsort((key, rel, key // s))
+    # sort by (bucket, rel, key): one composite-int64 stable radix sort is
+    # ~2x np.lexsort's three passes at 12M edges (host-side, once/graph)
+    if num_buckets * num_slots < (1 << 31) and num_segments < (1 << 31):
+        comp = (((key // s) * num_slots + rel).astype(np.int64) << 31) | key
+        order = np.argsort(comp, kind="stable")
+    else:
+        order = np.lexsort((key, rel, key // s))
     gather_idx, key, rel, norm = (gather_idx[order], key[order],
                                   rel[order], norm[order])
+
+    # native packer fast path (C++, native/spanplan.cpp): same algorithm,
+    # bitwise-identical outputs (tests/test_native.py), ~100x faster on
+    # AM-scale graphs. Python below stays as fallback + parity oracle.
+    if not _os.environ.get("RGCN_NO_NATIVE_PLAN"):
+        from scaling_rgcn_training_tpu.ops import _native_plan
+
+        packed = _native_plan.pack(
+            np.ascontiguousarray(gather_idx), np.ascontiguousarray(key),
+            np.ascontiguousarray(rel), np.ascontiguousarray(norm),
+            num_segments, num_slots, s, chunk, kspan, shift)
+        if packed is not None:
+            return RelSpanEdges(
+                gather_idx=jnp.asarray(packed["gather"]),
+                code=jnp.asarray(packed["code"]),
+                norm=jnp.asarray(packed["norm"]),
+                offsets=jnp.asarray(packed["offsets"]),
+                rbase=jnp.asarray(packed["rbase"]),
+                num_segments=int(num_segments), num_slots=int(num_slots),
+                bucket_rows=int(s), chunk=int(packed["chunk"]),
+                max_chunks=int(packed["max_chunks"]), kspan=int(kspan),
+                shift=int(shift), padded_edges=int(packed["padded"]))
+
     bucket = (key // s).astype(np.int64)
     b_start = np.searchsorted(bucket, np.arange(num_buckets), side="left")
     b_end = np.searchsorted(bucket, np.arange(num_buckets), side="right")
