@@ -305,21 +305,21 @@ def _fwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, vals_ref, w_ref,
             # materialization + multiply: the kernels are VPU-bound)
             p_sel = jnp.where(rel == qcol // d_out, p_all,
                               jnp.zeros((), dtype))         # [sub, kq]
+            nrm = norm_ref[sl, 0][:, None].astype(dtype)    # [sub, 1]
+            # mean-norm applied to the NARROW [sub, d_out] message, not the
+            # [sub, s] one-hot: same math (norm_e * onehot[e,k] * msg[e,d]),
+            # but the multiply runs over s/d_out = 32x fewer lanes and the
+            # scatter one-hot stays a pure compare-cast (no [sub,1] -> s
+            # lane broadcast). Padding rows still self-mask via norm = 0.
             msg = jax.lax.dot(p_sel, g_ref[:],
                               preferred_element_type=jnp.float32
-                              ).astype(dtype)               # [sub, d_out]
-            # write-once scatter with the mean-norm FOLDED INTO the scatter
-            # one-hot (norm-valued instead of 0/1 — zero extra VPU passes;
-            # this keeps the XLA-side source gather a standalone pure
-            # gather). Out-of-bucket / padding keys self-mask; padding rows
-            # also carry norm = 0.
+                              ).astype(dtype) * nrm         # [sub, d_out]
             local = jax.lax.shift_right_logical(code, shift) - j * s
             scol = jax.lax.broadcasted_iota(jnp.int32, (sub, s), 1)
-            nrm = norm_ref[sl, 0][:, None].astype(dtype)    # [sub, 1]
-            # compare-cast-multiply, NOT where(mask, nrm, 0): Mosaic cannot
+            # compare-cast, NOT where(mask, ...): Mosaic cannot
             # lane-replicate the i1 mask against a [sub, 1] operand
             # ("Invalid relayout ... vector<512x512xi1>")
-            valhot = (local == scol).astype(dtype) * nrm    # [sub, s]
+            valhot = (local == scol).astype(dtype)          # [sub, s]
             out_ref[:] += jax.lax.dot_general(
                 valhot, msg, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(out_ref.dtype)
@@ -381,8 +381,9 @@ def rel_span_matmul_scatter(vals: jnp.ndarray, span: RelSpanEdges,
 # -- backward: dx[src] += t_e @ W[rel_e]^T ; dW[rel_e] += x[src_e]^T t_e ------
 
 def _bwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, t_ref, x_ref,
-                w_ref, dx_ref, dw_ref, *, s: int, chunk: int, d_out: int,
-                shift: int, kq: int, max_chunks: int, slots: int):
+                w_ref, tm_ref, dx_ref, dw_ref, *, s: int, chunk: int,
+                d_out: int, shift: int, kq: int, max_chunks: int,
+                slots: int):
     j = pl.program_id(0)
     ci = pl.program_id(1)
     e_lo = offs_ref[j]
@@ -420,10 +421,13 @@ def _bwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, t_ref, x_ref,
                              preferred_element_type=jnp.float32
                              ).astype(dtype)                # [sub, d_in]
             # banded mask M[e, q] = 1[rel_local == q // d_out] * t[e, q % d_out]
-            # as repeat + ONE select (VPU-bound: avoid a separate 0/1
-            # one-hot materialization and multiply)
+            # as a tiny MXU tiling matmul (tm[o, q] = 1[q % d_out == o], so
+            # t @ tm = t[e, q % d_out]) + ONE select: cheaper than
+            # pltpu.repeat's log-step lane replication on the VPU
             qcol = jax.lax.broadcasted_iota(jnp.int32, (sub, kq), 1)
-            texp = pltpu.repeat(t, kspan, axis=1)           # t[e, q % d_out]
+            texp = jax.lax.dot(t, tm_ref[:],
+                               preferred_element_type=jnp.float32
+                               ).astype(dtype)              # t[e, q % d_out]
             m_exp = jnp.where(rel == qcol // d_out, texp,
                               jnp.zeros((), dtype))         # [sub, kq]
             dmsg = jax.lax.dot(m_exp, w_sl,
@@ -458,6 +462,9 @@ def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
     if x_pad.shape[0] < m_pad:
         x_pad = jnp.pad(x_pad, ((0, m_pad - x_pad.shape[0]), (0, 0)))
     w_flat = jnp.transpose(w, (0, 2, 1)).reshape(rq, d_in).astype(t.dtype)
+    qs = np.arange(kq)
+    t_mat = jnp.asarray((np.arange(d_out)[:, None] == qs[None, :] % d_out
+                         ).astype(np.float32)).astype(t.dtype)  # [d_out, kq]
 
     max_block = span.padded_edges // chunk - 1
 
@@ -475,6 +482,7 @@ def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
             pl.BlockSpec((chunk, d_out), edge_block),
             pl.BlockSpec((s, d_in), lambda j, ci, offs, rb: (j, 0)),
             const_block((rq, d_in)),
+            const_block((d_out, kq)),
         ],
         out_specs=[
             pl.BlockSpec((s, d_in), lambda j, ci, offs, rb: (j, 0)),
@@ -491,7 +499,7 @@ def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
         ],
         grid_spec=grid_spec,
     )(span.offsets, span.rbase, span.code.reshape(-1, 1),
-      span.norm.reshape(-1, 1), t, x_pad, w_flat)
+      span.norm.reshape(-1, 1), t, x_pad, w_flat, t_mat)
     dw = jnp.transpose(dw_flat.reshape(slots, d_out, d_in), (0, 2, 1))
     return dx[:span.num_segments], dw
 

@@ -125,6 +125,51 @@ def make_bwd(variant: str):
                         preferred_element_type=jnp.float32
                     ).astype(dx_ref.dtype)
                     continue
+                if variant == "minimal16":
+                    # like minimal but the scatter dot is 16 lanes wide
+                    dx_ref[:, :16] += jax.lax.dot_general(
+                        srchot,
+                        jax.lax.dot(tt, tm_ref[:, :16],
+                                    preferred_element_type=jnp.float32
+                                    ).astype(dtype),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                    ).astype(dx_ref.dtype)
+                    continue
+                if variant == "minsplit":
+                    # minimal with the 64-wide scatter dot SPLIT into 16-wide
+                    # quarters (dodges a possible layout cliff at n=64)
+                    y = jax.lax.dot(tt, tm_ref[:, :d_in],
+                                    preferred_element_type=jnp.float32
+                                    ).astype(dtype)
+                    for b in range(d_in // 16):
+                        dx_ref[:, b * 16:(b + 1) * 16] += jax.lax.dot_general(
+                            srchot, y[:, b * 16:(b + 1) * 16],
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                        ).astype(dx_ref.dtype)
+                    continue
+                if variant == "overwrite":
+                    # minimal without the accumulate read (wrong math)
+                    dx_ref[:] = jax.lax.dot_general(
+                        srchot,
+                        jax.lax.dot(tt, tm_ref[:, :d_in],
+                                    preferred_element_type=jnp.float32
+                                    ).astype(dtype),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                    ).astype(dx_ref.dtype)
+                    continue
+                if variant == "mintrans":
+                    # minimal with an EXPLICIT transpose + plain matmul
+                    # instead of the dim0xdim0 dot_general
+                    y = jax.lax.dot(tt, tm_ref[:, :d_in],
+                                    preferred_element_type=jnp.float32
+                                    ).astype(dtype)
+                    dx_ref[:] += jax.lax.dot(
+                        srchot.T, y, preferred_element_type=jnp.float32
+                    ).astype(dx_ref.dtype)
+                    continue
                 if variant == "mxuall":
                     # band mask via two tiny MXU matmuls + ONE multiply:
                     # (relhot @ E)[e,q] = 1[rel_e == q//d_out],
@@ -298,3 +343,91 @@ for v in (only or ["base", "hint", "statrmw", "nodw", "nodx", "mxurep",
         continue
     fn, operands, tstream = make_bwd(v)
     timeit(v, fn, operands, tstream)
+
+
+def shipped():
+    """The shipped rel_span_backward_scatter, timed in THIS harness
+    (nudged scan carry) for apples-to-apples with the variants."""
+    from scaling_rgcn_training_tpu.ops.span_kernels import (
+        rel_span_backward_scatter)
+
+    def chain(c, tt, xx, ww):
+        def body(cc, _):
+            dx, dw = rel_span_backward_scatter(
+                tt * (1 + 1e-12 * cc).astype(tt.dtype), span, xx, ww)
+            return dx.ravel()[0] + dw.ravel()[0], None
+        return lax.scan(body, c, None, length=inner)[0]
+
+    g = jax.jit(chain)
+    t0 = time.perf_counter()
+    o = g(jnp.float32(0), t, x, w); float(o)
+    tc = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = g(o, t, x, w); float(o)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    print(f"{'shipped':10s} {best*1e3:8.2f} ms  (compile {tc:.1f}s)",
+          flush=True)
+
+
+if not only or "shipped" in only:
+    shipped()
+
+
+def fwdnorm():
+    """The shipped FORWARD kernel on fspan (normal dims), in this harness."""
+    from scaling_rgcn_training_tpu.ops.span_kernels import (
+        rel_span_matmul_scatter)
+
+    fsp = edges.fspan
+    vals = jnp.asarray(rng.standard_normal((fsp.padded_edges, d_in)), dt)
+    wf = jnp.asarray(rng.standard_normal((slots, d_in, d_out)) * 0.1, dt)
+
+    def chain(c, vv, ww):
+        def body(cc, _):
+            out = rel_span_matmul_scatter(
+                vv * (1 + 1e-12 * cc).astype(vv.dtype), fsp, ww)
+            return out.ravel()[0], None
+        return lax.scan(body, c, None, length=inner)[0]
+
+    g = jax.jit(chain)
+    t0 = time.perf_counter()
+    o = g(jnp.float32(0), vals, wf); float(o)
+    tc = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = g(o, vals, wf); float(o)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    print(f"{'fwdnorm':10s} {best*1e3:8.2f} ms  (compile {tc:.1f}s)",
+          flush=True)
+
+
+if not only or "fwdnorm" in only:
+    fwdnorm()
+
+
+def floor_row():
+    """Harness floor: nudge multiply + scan + fetch, NO kernel."""
+    def chain(c, tt):
+        def body(cc, _):
+            v = tt * (1 + 1e-12 * cc).astype(tt.dtype)
+            return v.ravel()[0].astype(jnp.float32), None
+        return lax.scan(body, c, None, length=inner)[0]
+
+    g = jax.jit(chain)
+    t0 = time.perf_counter()
+    o = g(jnp.float32(0), t); float(o)
+    tc = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = g(o, t); float(o)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    print(f"{'floor':10s} {best*1e3:8.2f} ms  (compile {tc:.1f}s)",
+          flush=True)
+
+
+if not only or "floor" in only:
+    floor_row()
