@@ -288,7 +288,11 @@ def _fwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, vals_ref, w_ref,
     @pl.when(base < e_hi)
     def _():
         rb = rbase_ref[j * max_chunks + ci]
-        w_sl = w_ref[pl.ds(rb * d_out, kq), :]              # [kq, d_in]
+        # d_out is padded to a multiple of 8 by the wrapper, so this
+        # dynamic sublane offset is provably tile-aligned (Mosaic rejects
+        # unprovable offsets at some shapes: "cannot statically prove that
+        # index in dimension 0 is a multiple of 8" — hit at AM's C=11)
+        w_sl = w_ref[pl.ds(pl.multiple_of(rb * d_out, 8), kq), :]
         dtype = vals_ref.dtype
         sub = min(chunk, _SUB)
         for q in range(chunk // sub):
@@ -335,7 +339,12 @@ def rel_span_matmul_scatter(vals: jnp.ndarray, span: RelSpanEdges,
     -> ``[M, d_out]`` float32.
     """
     _, d_in = vals.shape
-    slots, _, d_out = w.shape
+    slots, _, d_true = w.shape
+    # pad d_out to a multiple of 8: keeps the dynamic weight-slice offset
+    # rb*d_out provably sublane-aligned (Mosaic rejects e.g. AM's C=11)
+    d_out = -(-d_true // 8) * 8
+    if d_out != d_true:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, d_out - d_true)))
     s, chunk = span.bucket_rows, span.chunk
     kq = span.kspan * d_out
     m_pad = -(-span.num_segments // s) * s
@@ -375,7 +384,7 @@ def rel_span_matmul_scatter(vals: jnp.ndarray, span: RelSpanEdges,
         grid_spec=grid_spec,
     )(span.offsets, span.rbase, span.code.reshape(-1, 1),
       span.norm.reshape(-1, 1), vals, w_flat, g_mat)
-    return out[:span.num_segments]
+    return out[:span.num_segments, :d_true]
 
 
 # -- backward: dx[src] += t_e @ W[rel_e]^T ; dW[rel_e] += x[src_e]^T t_e ------
@@ -401,7 +410,8 @@ def _bwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, t_ref, x_ref,
     @pl.when(base < e_hi)
     def _():
         rb = rbase_ref[j * max_chunks + ci]
-        w_sl = w_ref[pl.ds(rb * d_out, kq), :]              # [kq, d_in]
+        off = pl.multiple_of(rb * d_out, 8)   # d_out padded to 8k: aligned
+        w_sl = w_ref[pl.ds(off, kq), :]                     # [kq, d_in]
         dtype = t_ref.dtype
         kspan = kq // d_out
         sub = min(chunk, _SUB)
@@ -432,7 +442,7 @@ def _bwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, t_ref, x_ref,
                               jnp.zeros((), dtype))         # [sub, kq]
             dmsg = jax.lax.dot(m_exp, w_sl,
                                preferred_element_type=jnp.float32)
-            dw_ref[pl.ds(rb * d_out, kq), :] += jax.lax.dot_general(
+            dw_ref[pl.ds(off, kq), :] += jax.lax.dot_general(
                 m_exp, xs, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dw_ref.dtype)
             dx_ref[:] += jax.lax.dot_general(
@@ -451,8 +461,13 @@ def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
     ``w [slots, d_in, d_out]``. Returns ``dx [N, d_in]`` f32 and
     ``dw [slots, d_in, d_out]`` f32.
     """
-    _, d_out = t.shape
+    _, d_true = t.shape
     slots, d_in, _ = w.shape
+    # pad d_out to a multiple of 8 (see rel_span_matmul_scatter)
+    d_out = -(-d_true // 8) * 8
+    if d_out != d_true:
+        t = jnp.pad(t, ((0, 0), (0, d_out - d_true)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, d_out - d_true)))
     s, chunk = span.bucket_rows, span.chunk
     kq = span.kspan * d_out
     rq = slots * d_out
@@ -501,7 +516,7 @@ def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
     )(span.offsets, span.rbase, span.code.reshape(-1, 1),
       span.norm.reshape(-1, 1), t, x_pad, w_flat, t_mat)
     dw = jnp.transpose(dw_flat.reshape(slots, d_out, d_in), (0, 2, 1))
-    return dx[:span.num_segments], dw
+    return dx[:span.num_segments], dw[:, :, :d_true]
 
 
 # -- reusable fused aggregate (single-shard or per-shard inside shard_map) ----

@@ -71,6 +71,8 @@ def test_plan_rel_span_structure():
 @pytest.mark.parametrize("n,e,slots,d_in,d_out,k", [
     (300, 2000, 7, 16, 8, 3),
     (100, 500, 3, 8, 16, 16),   # kspan > slots -> clamped to slots
+    (300, 2000, 7, 24, 11, 3),  # d_out not a multiple of 8 -> padded
+                                # (AM's C=11 broke the unpadded slices)
 ])
 def test_rel_span_matmul_scatter(n, e, slots, d_in, d_out, k, dtype, rtol, atol):
     rng = np.random.default_rng(n + e)
@@ -100,6 +102,7 @@ def test_rel_span_matmul_scatter(n, e, slots, d_in, d_out, k, dtype, rtol, atol)
 @pytest.mark.parametrize("n,e,slots,d_in,d_out,k", [
     (300, 2000, 7, 16, 8, 3),
     (64, 700, 5, 32, 8, 2),
+    (300, 2000, 7, 24, 11, 3),  # d_out not a multiple of 8 -> padded
 ])
 def test_rel_span_backward_scatter(n, e, slots, d_in, d_out, k, dtype, rtol, atol):
     rng = np.random.default_rng(2 * n + e)
