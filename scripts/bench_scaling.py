@@ -119,30 +119,34 @@ for k in counts:
     y = jax.device_put(jax.nn.one_hot(np.arange(1024) % c, c), rep)
     idx = jax.device_put(jnp.arange(1024), rep)
 
-    def one_step(ps, st):
+    def one_step(ps, st, he):
         def loss_of(p):
             e_, a_, b_ = p
-            z = jax.nn.relu(halo_rgcn_conv(e_, hedges, a_, mesh))
-            logits = halo_rgcn_conv(z, hedges, b_, mesh)
+            z = jax.nn.relu(halo_rgcn_conv(e_, he, a_, mesh))
+            logits = halo_rgcn_conv(z, he, b_, mesh)
             return bce_loss(logits[idx], y)
 
         loss, grads = jax.value_and_grad(loss_of)(ps)
         updates, st2 = opt.update(grads, st)
         return optax.apply_updates(ps, updates), st2, loss
 
+    # hedges rides as a JIT ARGUMENT (it is a registered pytree): closing
+    # over it embeds the multi-million-row plan arrays as HLO literals and
+    # XLA CPU constant-folds over them for tens of minutes per arm
     @jax.jit
-    def run(ps, st):
-        (ps, st), losses = jax.lax.scan(
-            lambda cc, _: ((lambda a, b, l: ((a, b), l))(*one_step(*cc))),
-            (ps, st), None, length=inner)
+    def run(ps, st, he):
+        def body(cc, _):
+            a, b, l = one_step(*cc, he)
+            return (a, b), l
+        (ps, st), losses = jax.lax.scan(body, (ps, st), None, length=inner)
         return ps, st, losses[-1]
 
-    params, state, loss = run(params, state)     # compile
-    params, state, loss = run(params, state)     # chained warmup: catches
+    params, state, loss = run(params, state, hedges)   # compile
+    params, state, loss = run(params, state, hedges)   # chained warmup:
     jax.block_until_ready(params)                # sharding-signature drift
     t0 = time.perf_counter()
     for _ in range(calls):
-        params, state, loss = run(params, state)
+        params, state, loss = run(params, state, hedges)
     jax.block_until_ready(params)
     dt = (time.perf_counter() - t0) / (calls * inner)
     eps = e * 2 / dt  # 2 layers

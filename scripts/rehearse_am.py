@@ -11,6 +11,7 @@ Records step time, edges/s/chip, device memory stats -> AMSCALE_r03.json.
 
 Run: python scripts/rehearse_am.py
 """
+import functools
 import json
 import os
 import sys
@@ -77,7 +78,9 @@ def step_body(ed, carry, _):
     return (optax.apply_updates(p, updates), s2), loss
 
 
-@jax.jit
+# donate params+opt state: at AM scale the Adam triple is ~1.3 GB f32 and
+# an un-donated in/out pair was part of a 20.05G > 15.75G HBM overflow
+@functools.partial(jax.jit, donate_argnums=(0, 1))
 def run(p, s, ed):
     (p, s), losses = jax.lax.scan(
         lambda cc, _: step_body(ed, cc, _), (p, s), None, length=inner)
