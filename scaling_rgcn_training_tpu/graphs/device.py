@@ -41,7 +41,8 @@ class DeviceGraph(NamedTuple):
 
 def build_device_graph(graph: Graph, pad_to_multiple: int = 512,
                        mesh=None, partition: Optional[str] = None,
-                       reorder: bool = False) -> DeviceGraph:
+                       reorder: bool = False,
+                       plan_cache: Optional[str] = None) -> DeviceGraph:
     """Lower a host ``Graph`` (with training tensors attached) to device arrays.
 
     With ``mesh`` (a ``jax.sharding.Mesh``) and ``partition`` ("edge" or
@@ -74,7 +75,7 @@ def build_device_graph(graph: Graph, pad_to_multiple: int = 512,
             edges = device_put_sharded_edges(shard_rel_edges(
                 src, dst, graph.edge_type,
                 graph.num_nodes, graph.num_relation_slots, num_shards,
-                pad_to_multiple=pad_to_multiple), mesh)
+                pad_to_multiple=pad_to_multiple, cache_dir=plan_cache), mesh)
         elif partition == "halo":
             from scaling_rgcn_training_tpu.parallel import (
                 device_put_halo_edges, halo_partition_edges)
@@ -82,7 +83,7 @@ def build_device_graph(graph: Graph, pad_to_multiple: int = 512,
             edges = device_put_halo_edges(halo_partition_edges(
                 src, dst, graph.edge_type,
                 graph.num_nodes, graph.num_relation_slots, num_shards,
-                pad_to_multiple=pad_to_multiple), mesh)
+                pad_to_multiple=pad_to_multiple, cache_dir=plan_cache), mesh)
         else:
             raise ValueError(f"unknown partition {partition!r}")
         as_dev = lambda a: None if a is None else jnp.asarray(a)
@@ -98,6 +99,7 @@ def build_device_graph(graph: Graph, pad_to_multiple: int = 512,
         num_nodes=graph.num_nodes,
         num_slots=graph.num_relation_slots,
         pad_to_multiple=pad_to_multiple,
+        cache_dir=plan_cache,
     )
     as_dev = lambda a: None if a is None else jnp.asarray(a)
     return DeviceGraph(

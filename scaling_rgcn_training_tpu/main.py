@@ -91,7 +91,10 @@ def run_experiments(configs: Dict[str, Any], org_path: str, sum_path: str,
             partition=configs.get("partition") or "halo",
             reorder=bool(configs.get("reorder")),
             ckpt_dir=configs.get("ckpt_dir"),
-            ckpt_every=configs.get("ckpt_every") or 0)
+            ckpt_every=configs.get("ckpt_every") or 0,
+            plan_cache=configs.get("plan_cache") or (
+                os.path.join(configs["ckpt_dir"], "plans")
+                if configs.get("ckpt_dir") else None))
         trainer.ckpt_tag = j
         if needs_summaries:
             ckpt = configs.get("ckpt_dir")
@@ -160,6 +163,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-ckpt_every", type=int, default=0,
                         help="checkpoint the fine-tune loop every K epochs "
                              "(with -ckpt_dir); crashed runs resume exactly")
+    parser.add_argument("-plan_cache", type=str, default=None,
+                        help="cache host-built edge plans here (defaults to "
+                             "<ckpt_dir>/plans when -ckpt_dir is set); saves "
+                             "minutes of preprocessing per run at AM scale")
     parser.add_argument("-results_root", type=str, default="./results")
     parser.add_argument("-seed", type=int, default=0)
     parser.add_argument("-backend", type=str, default=None,

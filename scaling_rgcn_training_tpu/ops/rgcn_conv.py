@@ -142,13 +142,26 @@ def build_rel_edges(
     num_nodes: int,
     num_slots: int,
     pad_to_multiple: int = 512,
+    cache_dir: Optional[str] = None,
 ) -> RelEdges:
     """Preprocess a raw edge list into the static TPU layout.
 
     Host-side, runs once per graph. Sorts edges by (relation, dst) —
     relation-contiguity feeds the grouped matmul; dst-sortedness within
     each relation keeps the forward scatter access pattern monotonic.
+
+    ``cache_dir``: persist/load the finished plan on disk keyed by a
+    content hash of the inputs (utils/plancache.py) — at AM scale a cold
+    build costs minutes, a cache hit seconds.
     """
+    if cache_dir:
+        from scaling_rgcn_training_tpu.utils.plancache import get_or_build
+
+        return get_or_build(
+            cache_dir, "reledges", (edge_src, edge_dst, edge_type),
+            (num_nodes, num_slots, pad_to_multiple),
+            lambda: build_rel_edges(edge_src, edge_dst, edge_type,
+                                    num_nodes, num_slots, pad_to_multiple))
     edge_src = np.asarray(edge_src, np.int32)
     edge_dst = np.asarray(edge_dst, np.int32)
     edge_type = np.asarray(edge_type, np.int32)

@@ -58,8 +58,14 @@ _MAX_W_BYTES = int(_os.environ.get("RGCN_FUSED_MAX_W_BYTES", 6 << 20))
 
 
 def fused_ok(num_slots: int, d_in: int, d_out: int, itemsize: int = 4) -> bool:
-    """Whether the fused kernels' VMEM-resident weight stack fits."""
-    return num_slots * d_in * d_out * itemsize <= _MAX_W_BYTES
+    """Whether the fused kernels' VMEM-resident weight stack fits.
+
+    Uses the PADDED output width (the kernels round d_out up to a multiple
+    of 8 for sublane alignment), so the estimate matches the real VMEM
+    footprint near the ``RGCN_FUSED_MAX_W_BYTES`` threshold.
+    """
+    d_pad = -(-d_out // 8) * 8
+    return num_slots * d_in * d_pad * itemsize <= _MAX_W_BYTES
 
 
 class RelSpanEdges(NamedTuple):
@@ -72,11 +78,21 @@ class RelSpanEdges(NamedTuple):
     padding rows). ``offsets``: per-bucket edge offsets, chunk-aligned.
     ``rbase``: per-(bucket, chunk) base relation, clamped so the
     ``kspan``-wide weight slice stays in range.
+
+    Layout: ``code`` and ``norm`` are stored COLUMN-PACKED as
+    ``[Ep/128, 128]`` tiles (:func:`pack_edge_cols`), column-major within
+    each chunk. A per-edge ``[Ep, 1]`` column array would be tiled
+    ``T(8,128)`` by XLA — a 128x padding expansion in BOTH HBM bytes at
+    rest and kernel stream traffic (measured: 6.48 GB for a 52 MB array
+    at AM scale, the r3 OOM). The kernels rebuild the ``[chunk, 1]``
+    column in VMEM via sublane-repeat + a static lane-select mask + a
+    lane reduction (Mosaic rejects the direct ``[chunk/128,128] ->
+    [chunk,1]`` shape cast).
     """
 
     gather_idx: jnp.ndarray    # int32 [Ep]
-    code: jnp.ndarray          # int32 [Ep]
-    norm: jnp.ndarray          # float32 [Ep]
+    code: jnp.ndarray          # int32 [Ep/128, 128] column-packed
+    norm: jnp.ndarray          # float32 [Ep/128, 128] column-packed
     offsets: jnp.ndarray       # int32 [num_buckets + 1]
     rbase: jnp.ndarray         # int32 [num_buckets * max_chunks]
     num_segments: int
@@ -98,6 +114,38 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def pack_edge_cols(a: np.ndarray, chunk: int) -> np.ndarray:
+    """Pack a flat per-edge array [Ep] -> [Ep/128, 128], column-major per
+    chunk: ``packed[c*R + i, j] = a[c*chunk + j*R + i]`` with
+    ``R = chunk // 128``. See :class:`RelSpanEdges` for why."""
+    r = chunk // 128
+    return np.ascontiguousarray(
+        np.asarray(a).reshape(-1, 128, r).transpose(0, 2, 1).reshape(-1, 128))
+
+
+def unpack_edge_cols(a2: np.ndarray, chunk: int) -> np.ndarray:
+    """Inverse of :func:`pack_edge_cols` -> flat [Ep]."""
+    r = chunk // 128
+    return np.ascontiguousarray(
+        np.asarray(a2).reshape(-1, r, 128).transpose(0, 2, 1).reshape(-1))
+
+
+def _rebuild_cols(code_ref, norm_ref, chunk: int):
+    """In-kernel: column-packed [chunk/128, 128] tiles -> ([chunk, 1] i32,
+    [chunk, 1] f32) edge columns (sublane-repeat + static lane select)."""
+    r = chunk // 128
+    tc = code_ref[...]
+    tn = norm_ref[...]
+    xc = pltpu.repeat(tc, 128, axis=0)       # [chunk, 128]: xc[e] = tc[e % r]
+    xn = pltpu.repeat(tn, 128, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
+    erow = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 0)
+    sel = lane == erow // r                  # col[e] = t[e % r, e // r]
+    code = jnp.sum(jnp.where(sel, xc, 0), axis=1, keepdims=True)
+    norm = jnp.sum(jnp.where(sel, xn, jnp.float32(0)), axis=1, keepdims=True)
+    return code, norm
+
+
 def plan_rel_span(
     gather_idx: np.ndarray,
     key: np.ndarray,
@@ -117,6 +165,9 @@ def plan_rel_span(
     """
     s = bucket_rows or _DEF_BUCKET_ROWS
     kspan = min(kspan or _DEF_KSPAN, num_slots)
+    assert chunk % 128 == 0, (
+        f"span chunk must be a multiple of 128 (column-packed code/norm "
+        f"tiles), got {chunk}")
     gather_idx = np.asarray(gather_idx, np.int32)
     key = np.asarray(key, np.int64)
     rel = np.asarray(rel, np.int32)
@@ -149,8 +200,10 @@ def plan_rel_span(
         if packed is not None:
             return RelSpanEdges(
                 gather_idx=jnp.asarray(packed["gather"]),
-                code=jnp.asarray(packed["code"]),
-                norm=jnp.asarray(packed["norm"]),
+                code=jnp.asarray(pack_edge_cols(packed["code"],
+                                                int(packed["chunk"]))),
+                norm=jnp.asarray(pack_edge_cols(packed["norm"],
+                                                int(packed["chunk"]))),
                 offsets=jnp.asarray(packed["offsets"]),
                 rbase=jnp.asarray(packed["rbase"]),
                 num_segments=int(num_segments), num_slots=int(num_slots),
@@ -261,8 +314,8 @@ def plan_rel_span(
 
     return RelSpanEdges(
         gather_idx=jnp.asarray(np.concatenate(out_g)),
-        code=jnp.asarray(np.concatenate(out_c)),
-        norm=jnp.asarray(np.concatenate(out_n)),
+        code=jnp.asarray(pack_edge_cols(np.concatenate(out_c), chunk)),
+        norm=jnp.asarray(pack_edge_cols(np.concatenate(out_n), chunk)),
         offsets=jnp.asarray(np.asarray(offsets, np.int32)),
         rbase=jnp.asarray(rbase.reshape(-1)),
         num_segments=int(num_segments), num_slots=int(num_slots),
@@ -294,11 +347,12 @@ def _fwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, vals_ref, w_ref,
         # index in dimension 0 is a multiple of 8" — hit at AM's C=11)
         w_sl = w_ref[pl.ds(pl.multiple_of(rb * d_out, 8), kq), :]
         dtype = vals_ref.dtype
+        code_col, norm_col = _rebuild_cols(code_ref, norm_ref, chunk)
         sub = min(chunk, _SUB)
         for q in range(chunk // sub):
             sl = pl.ds(q * sub, sub)
             vals = vals_ref[sl, :]                          # [sub, d_in]
-            code = code_ref[sl, 0][:, None]                 # [sub, 1]
+            code = code_col[q * sub:(q + 1) * sub]          # [sub, 1]
             rel = jnp.bitwise_and(code, (1 << shift) - 1) - rb
             # banded transform: only the kspan relations this chunk touches
             p_all = jax.lax.dot_general(
@@ -309,7 +363,7 @@ def _fwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, vals_ref, w_ref,
             # materialization + multiply: the kernels are VPU-bound)
             p_sel = jnp.where(rel == qcol // d_out, p_all,
                               jnp.zeros((), dtype))         # [sub, kq]
-            nrm = norm_ref[sl, 0][:, None].astype(dtype)    # [sub, 1]
+            nrm = norm_col[q * sub:(q + 1) * sub].astype(dtype)  # [sub, 1]
             # mean-norm applied to the NARROW [sub, d_out] message, not the
             # [sub, s] one-hot: same math (norm_e * onehot[e,k] * msg[e,d]),
             # but the multiply runs over s/d_out = 32x fewer lanes and the
@@ -333,10 +387,11 @@ def rel_span_matmul_scatter(vals: jnp.ndarray, span: RelSpanEdges,
                             w: jnp.ndarray) -> jnp.ndarray:
     """``out[k] = sum_{e: key_e = k} norm_e * (vals_e @ w[rel_e])``.
 
-    ``vals [Ep, d_in]`` RAW gathered rows in span order (the kernel applies
-    ``span.norm`` itself, folded into the scatter one-hot — keeping the
-    caller's gather a standalone pure gather), ``w [slots, d_in, d_out]``
-    -> ``[M, d_out]`` float32.
+    ``vals [Ep, d_in]`` RAW gathered rows in span order — the kernel
+    applies ``span.norm`` itself, multiplying it onto the narrow
+    ``[sub, d_out]`` message (the scatter one-hot stays a pure
+    compare-cast), so the caller's gather remains a standalone pure
+    gather. ``w [slots, d_in, d_out]`` -> ``[M, d_out]`` float32.
     """
     _, d_in = vals.shape
     slots, _, d_true = w.shape
@@ -368,8 +423,8 @@ def rel_span_matmul_scatter(vals: jnp.ndarray, span: RelSpanEdges,
         num_scalar_prefetch=2,
         grid=(num_buckets, span.max_chunks),
         in_specs=[
-            pl.BlockSpec((chunk, 1), edge_block),
-            pl.BlockSpec((chunk, 1), edge_block),
+            pl.BlockSpec((chunk // 128, 128), edge_block),
+            pl.BlockSpec((chunk // 128, 128), edge_block),
             pl.BlockSpec((chunk, d_in), edge_block),
             const_block((slots * d_out, d_in)),
             const_block((kq, d_out)),
@@ -382,8 +437,7 @@ def rel_span_matmul_scatter(vals: jnp.ndarray, span: RelSpanEdges,
                           max_chunks=span.max_chunks),
         out_shape=jax.ShapeDtypeStruct((m_pad, d_out), jnp.float32),
         grid_spec=grid_spec,
-    )(span.offsets, span.rbase, span.code.reshape(-1, 1),
-      span.norm.reshape(-1, 1), vals, w_flat, g_mat)
+    )(span.offsets, span.rbase, span.code, span.norm, vals, w_flat, g_mat)
     return out[:span.num_segments, :d_true]
 
 
@@ -414,14 +468,15 @@ def _bwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, t_ref, x_ref,
         w_sl = w_ref[pl.ds(off, kq), :]                     # [kq, d_in]
         dtype = t_ref.dtype
         kspan = kq // d_out
+        code_col, norm_col = _rebuild_cols(code_ref, norm_ref, chunk)
         sub = min(chunk, _SUB)
         for q in range(chunk // sub):
             sl = pl.ds(q * sub, sub)
             # apply the mean-norm to the RAW gathered cotangent rows here
             # (one [sub, d_out] multiply) so the XLA-side gather stays a
             # standalone pure gather; padding rows carry norm = 0
-            t = t_ref[sl, :] * norm_ref[sl, 0][:, None].astype(dtype)
-            code = code_ref[sl, 0][:, None]                 # [sub, 1]
+            t = t_ref[sl, :] * norm_col[q * sub:(q + 1) * sub].astype(dtype)
+            code = code_col[q * sub:(q + 1) * sub]          # [sub, 1]
             rel = jnp.bitwise_and(code, (1 << shift) - 1) - rb
             # src one-hot: out-of-bucket / padding rows self-mask (t = 0)
             local = jax.lax.shift_right_logical(code, shift) - j * s
@@ -492,8 +547,8 @@ def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
         num_scalar_prefetch=2,
         grid=(num_buckets, span.max_chunks),
         in_specs=[
-            pl.BlockSpec((chunk, 1), edge_block),
-            pl.BlockSpec((chunk, 1), edge_block),
+            pl.BlockSpec((chunk // 128, 128), edge_block),
+            pl.BlockSpec((chunk // 128, 128), edge_block),
             pl.BlockSpec((chunk, d_out), edge_block),
             pl.BlockSpec((s, d_in), lambda j, ci, offs, rb: (j, 0)),
             const_block((rq, d_in)),
@@ -513,8 +568,7 @@ def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
             jax.ShapeDtypeStruct((rq, d_in), jnp.float32),
         ],
         grid_spec=grid_spec,
-    )(span.offsets, span.rbase, span.code.reshape(-1, 1),
-      span.norm.reshape(-1, 1), t, x_pad, w_flat, t_mat)
+    )(span.offsets, span.rbase, span.code, span.norm, t, x_pad, w_flat, t_mat)
     dw = jnp.transpose(dw_flat.reshape(slots, d_out, d_in), (0, 2, 1))
     return dx[:span.num_segments], dw[:, :, :d_true]
 
@@ -583,9 +637,19 @@ def stack_spans(spans: list[RelSpanEdges]) -> RelSpanEdges:
             a = np.concatenate([a, np.full(e_max - len(a), fill, a.dtype)])
         return a
 
+    def pad_cols(sp, arr, fill):
+        # code/norm are column-packed [Ep/128, 128]; dead trailing rows are
+        # never computed on (base < e_hi guard), values just need validity
+        a = np.asarray(arr)
+        rows = e_max // 128
+        if a.shape[0] < rows:
+            a = np.concatenate(
+                [a, np.full((rows - a.shape[0], 128), fill, a.dtype)])
+        return a
+
     g = np.stack([pad_edges(sp, sp.gather_idx, 0) for sp in spans])
-    c = np.stack([pad_edges(sp, sp.code, pad_code) for sp in spans])
-    nrm = np.stack([pad_edges(sp, sp.norm, 0.0) for sp in spans])
+    c = np.stack([pad_cols(sp, sp.code, pad_code) for sp in spans])
+    nrm = np.stack([pad_cols(sp, sp.norm, 0.0) for sp in spans])
     offs = np.stack([np.asarray(sp.offsets) for sp in spans])
     rb = np.stack([
         np.pad(np.asarray(sp.rbase).reshape(nb, sp.max_chunks),

@@ -129,8 +129,20 @@ def halo_partition_edges(
     num_shards: int,
     pad_to_multiple: int = 512,
     halo_multiple: int = 8,
+    cache_dir: Optional[str] = None,
 ) -> HaloShardedEdges:
-    """Host-side, once per graph: dst-owner partition + halo exchange plan."""
+    """Host-side, once per graph: dst-owner partition + halo exchange plan.
+
+    ``cache_dir``: persist/load the plan on disk (utils/plancache.py)."""
+    if cache_dir:
+        from scaling_rgcn_training_tpu.utils.plancache import get_or_build
+
+        return get_or_build(
+            cache_dir, "haloedges", (edge_src, edge_dst, edge_type),
+            (num_nodes, num_slots, num_shards, pad_to_multiple, halo_multiple),
+            lambda: halo_partition_edges(
+                edge_src, edge_dst, edge_type, num_nodes, num_slots,
+                num_shards, pad_to_multiple, halo_multiple))
     edge_src = np.asarray(edge_src, np.int32)
     edge_dst = np.asarray(edge_dst, np.int32)
     edge_type = np.asarray(edge_type, np.int32)

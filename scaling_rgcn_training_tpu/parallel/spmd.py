@@ -60,8 +60,19 @@ def shard_rel_edges(
     num_slots: int,
     num_shards: int,
     pad_to_multiple: int = 512,
+    cache_dir: Optional[str] = None,
 ) -> ShardedRelEdges:
-    """Host-side: sort globally, normalize, cut into equal padded shards."""
+    """Host-side: sort globally, normalize, cut into equal padded shards.
+
+    ``cache_dir``: persist/load the plan on disk (utils/plancache.py)."""
+    if cache_dir:
+        from scaling_rgcn_training_tpu.utils.plancache import get_or_build
+
+        return get_or_build(
+            cache_dir, "shardededges", (edge_src, edge_dst, edge_type),
+            (num_nodes, num_slots, num_shards, pad_to_multiple),
+            lambda: shard_rel_edges(edge_src, edge_dst, edge_type, num_nodes,
+                                    num_slots, num_shards, pad_to_multiple))
     edge_src = np.asarray(edge_src, np.int32)
     edge_dst = np.asarray(edge_dst, np.int32)
     edge_type = np.asarray(edge_type, np.int32)

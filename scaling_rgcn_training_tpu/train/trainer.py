@@ -99,7 +99,8 @@ class Trainer:
                  partition: str = "halo",
                  reorder: bool = False,
                  ckpt_dir: Optional[str] = None,
-                 ckpt_every: int = 0) -> None:
+                 ckpt_every: int = 0,
+                 plan_cache: Optional[str] = None) -> None:
         self.data = data
         self.hidden_l = hidden_l
         self.epochs = epochs
@@ -130,6 +131,9 @@ class Trainer:
         # greenfield; the reference loses the run on crash)
         self.ckpt_dir = ckpt_dir
         self.ckpt_every = ckpt_every
+        # on-disk edge-plan cache (utils/plancache.py): skip the host-side
+        # plan build on repeat runs over the same graph
+        self.plan_cache = plan_cache
         self.ckpt_tag = ""              # set per iteration by the driver
         self.rng = jax.random.key(seed)
         self.sum_params = None          # trained summary model (EmbModelParams)
@@ -146,7 +150,7 @@ class Trainer:
         if key not in self._device_graphs:
             self._device_graphs[key] = build_device_graph(
                 graph, mesh=self.mesh, partition=self.partition,
-                reorder=self.reorder)
+                reorder=self.reorder, plan_cache=self.plan_cache)
         return self._device_graphs[key]
 
     def _mesh_scope(self):

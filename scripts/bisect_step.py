@@ -33,7 +33,8 @@ from jax import lax
 
 from scaling_rgcn_training_tpu.ops import build_rel_edges
 from scaling_rgcn_training_tpu.ops.span_kernels import (
-    rel_span_backward_scatter, rel_span_matmul_scatter, span_aggregate)
+    rel_span_backward_scatter, rel_span_matmul_scatter, span_aggregate,
+    unpack_edge_cols)
 
 n = int(os.environ.get("P_NODES", 200_000))
 e = int(os.environ.get("P_EDGES", 4_000_000))
@@ -93,10 +94,10 @@ def fn_full(c, ops):
     fsp_, bsp_ = ops["fsp"], ops["bsp"]
     xx = nudge(c, ops["x"])
     vals = jnp.take(xx, fsp_.gather_idx, axis=0) \
-        * fsp_.norm[:, None].astype(bf)
+        * ops["fnorm_flat"][:, None].astype(bf)
     out = rel_span_matmul_scatter(vals, fsp_, ops["w"])
     t = (jnp.take(nudge(c, ops["g_out"]), bsp_.gather_idx, axis=0)
-         * bsp_.norm[:, None]).astype(bf)
+         * ops["bnorm_flat"][:, None]).astype(bf)
     dx, dw = rel_span_backward_scatter(t, bsp_, xx, ops["w"])
     return out.ravel()[0] + dx.ravel()[0] + dw.ravel()[0]
 
@@ -128,7 +129,9 @@ fn = {"kernels": fn_kernels, "nonorm": fn_nonorm, "full": fn_full,
       "grad": fn_grad, "gradroot": fn_gradroot}[variant]
 
 ops = {"x": x, "w": w, "g_out": g_out, "vals0": vals0, "t0": t0_,
-       "root": root, "fsp": fsp, "bsp": bsp}
+       "root": root, "fsp": fsp, "bsp": bsp,
+       "fnorm_flat": jnp.asarray(unpack_edge_cols(fsp.norm, fsp.chunk)),
+       "bnorm_flat": jnp.asarray(unpack_edge_cols(bsp.norm, bsp.chunk))}
 
 
 @jax.jit

@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from scaling_rgcn_training_tpu.ops import build_rel_edges
-from scaling_rgcn_training_tpu.ops.span_kernels import _SUB
+from scaling_rgcn_training_tpu.ops.span_kernels import _SUB, unpack_edge_cols
 
 n = int(os.environ.get("V_NODES", 200_000))
 e = int(os.environ.get("V_EDGES", 4_000_000))
@@ -262,8 +262,10 @@ def make_bwd(variant: str):
     # operands are returned so the caller passes them as JIT ARGUMENTS —
     # closing over the 4M-row plan arrays embeds them as HLO literals and
     # the tunnel compile takes 10+ minutes (same trap bisect_step.py fixed)
-    operands = (span.offsets, span.rbase, span.code.reshape(-1, 1),
-                span.norm.reshape(-1, 1), x_pad, w_flat, tmat, emat)
+    code_flat = jnp.asarray(unpack_edge_cols(span.code, span.chunk))
+    norm_flat = jnp.asarray(unpack_edge_cols(span.norm, span.chunk))
+    operands = (span.offsets, span.rbase, code_flat.reshape(-1, 1),
+                norm_flat.reshape(-1, 1), x_pad, w_flat, tmat, emat)
 
     def run(tt, offsets, rbase, code, norm, xp, wf, tm, em):
         return pl.pallas_call(

@@ -112,7 +112,7 @@ timeit("pallas _drhs (carry [E,16])",
        msg_h)
 
 from scaling_rgcn_training_tpu.ops.span_kernels import (
-    rel_span_backward_scatter, rel_span_matmul_scatter)
+    rel_span_backward_scatter, rel_span_matmul_scatter, unpack_edge_cols)
 
 dt = jnp.bfloat16 if os.environ.get("P_BF16") else jnp.float32
 fsp, bsp = edges.fspan, edges.bspan
@@ -128,5 +128,6 @@ timeit("fused bwd kernel (dx+dw)",
            t, bsp, xx, w.astype(dt))[0]).astype(dt)),
        t_h)
 timeit("gather x[fspan.gather_idx]*norm [E,64]",
-       lambda xq: jnp.take(xq, fsp.gather_idx, axis=0) * fsp.norm[:, None].astype(dt),
+       lambda xq: jnp.take(xq, fsp.gather_idx, axis=0)
+       * jnp.asarray(unpack_edge_cols(fsp.norm, fsp.chunk))[:, None].astype(dt),
        xx)

@@ -7,7 +7,8 @@ epochs). The real .nt is a missing LFS blob, so this rehearses the SHAPE:
 synthetic uniform graph at AM scale through the bench-identical 2-layer
 R-GCN train step (fwd+bwd+Adam, bf16 streams / f32 accumulation).
 
-Records step time, edges/s/chip, device memory stats -> AMSCALE_r03.json.
+Records step time, edges/s/chip, device memory stats -> AMSCALE_r04.json
+(override with AM_OUT).
 
 Run: python scripts/rehearse_am.py
 """
@@ -52,7 +53,10 @@ src = rng.integers(0, n, e).astype(np.int32)
 dst = rng.integers(0, n, e).astype(np.int32)
 typ = rng.integers(0, 2 * r, e).astype(np.int32)
 slots = 2 * r + 1
-edges = build_rel_edges(src, dst, typ, n, slots, pad_to_multiple=512)
+# AM_PLAN_CACHE: exercise the on-disk plan cache (utils/plancache.py) —
+# the second run loads the ~minutes-long plan build in seconds
+edges = build_rel_edges(src, dst, typ, n, slots, pad_to_multiple=512,
+                        cache_dir=os.environ.get("AM_PLAN_CACHE") or None)
 t_plan = time.perf_counter() - t0
 print(f"plan build: {t_plan:.1f}s (padded edges "
       f"{edges.fspan.padded_edges})", file=sys.stderr, flush=True)
@@ -119,6 +123,7 @@ rec = {
                         "(baselines/AM_baseline/report_baseline_i=5.json)",
 }
 print(json.dumps(rec))
-with open(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "AMSCALE_r03.json"), "w") as fh:
+out = os.environ.get("AM_OUT", os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "AMSCALE_r04.json"))
+with open(out, "w") as fh:
     json.dump(rec, fh, indent=2)

@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 
 from scaling_rgcn_training_tpu.ops.span_kernels import (
-    plan_rel_span, rel_span_backward_scatter, rel_span_matmul_scatter)
+    pack_edge_cols, plan_rel_span, rel_span_backward_scatter,
+    rel_span_matmul_scatter, unpack_edge_cols)
 
 
 @pytest.fixture(autouse=True)
@@ -44,8 +45,11 @@ def test_plan_rel_span_structure():
     offs = np.asarray(span.offsets)
     assert (np.diff(offs) % span.chunk == 0).all()
     assert span.padded_edges == offs[-1]
-    code = np.asarray(span.code)
-    normp = np.asarray(span.norm)
+    # code/norm are stored column-packed [Ep/128, 128]; flatten them back
+    code = unpack_edge_cols(span.code, span.chunk)
+    normp = unpack_edge_cols(span.norm, span.chunk)
+    assert np.array_equal(pack_edge_cols(code, span.chunk),
+                          np.asarray(span.code))
     rbase = np.asarray(span.rbase).reshape(-1, span.max_chunks)
     mask = (1 << span.shift) - 1
     n_real = 0
