@@ -154,14 +154,29 @@ def build_rel_edges(
     content hash of the inputs (utils/plancache.py) — at AM scale a cold
     build costs minutes, a cache hit seconds.
     """
-    if cache_dir:
-        from scaling_rgcn_training_tpu.utils.plancache import get_or_build
+    from scaling_rgcn_training_tpu.utils.plancache import get_or_build, to_device
 
+    if cache_dir:
         return get_or_build(
             cache_dir, "reledges", (edge_src, edge_dst, edge_type),
             (num_nodes, num_slots, pad_to_multiple),
-            lambda: build_rel_edges(edge_src, edge_dst, edge_type,
-                                    num_nodes, num_slots, pad_to_multiple))
+            lambda: _build_rel_edges_host(edge_src, edge_dst, edge_type,
+                                          num_nodes, num_slots,
+                                          pad_to_multiple))
+    return to_device(_build_rel_edges_host(
+        edge_src, edge_dst, edge_type, num_nodes, num_slots, pad_to_multiple))
+
+
+def _build_rel_edges_host(
+    edge_src: np.ndarray,
+    edge_dst: np.ndarray,
+    edge_type: np.ndarray,
+    num_nodes: int,
+    num_slots: int,
+    pad_to_multiple: int = 512,
+) -> RelEdges:
+    """The host-side build: every array leaf is numpy (cacheable without an
+    accelerator round trip); ``build_rel_edges`` converts at the boundary."""
     edge_src = np.asarray(edge_src, np.int32)
     edge_dst = np.asarray(edge_dst, np.int32)
     edge_type = np.asarray(edge_type, np.int32)
@@ -189,16 +204,15 @@ def build_rel_edges(
     # backward layout: (src, rel)-sorted order for the per-edge-transform
     # fallback; the reduction segments are the N source nodes.
     perm = np.lexsort((typ, src)).astype(np.int32)
-    bwd_src_np = src[perm]
-    bwd_perm = jnp.asarray(perm)
-    bwd_src = jnp.asarray(bwd_src_np)
-    bwd_plan = plan_segmented_reduce(bwd_src_np, num_nodes)
+    bwd_perm = perm
+    bwd_src = src[perm]
+    bwd_plan = plan_segmented_reduce(bwd_src, num_nodes)
 
     # dst-major layout for the dst-sorted write-once reduction the
     # non-fused forward uses past the VMEM cliff
     dperm = np.argsort(dst, kind="stable").astype(np.int32)
-    dst_perm = jnp.asarray(dperm)
-    dst_sorted = jnp.asarray(dst[dperm])
+    dst_perm = dperm
+    dst_sorted = dst[dperm]
     dst_plan = plan_segmented_reduce(dst[dperm], num_nodes)
 
     # relation-banded fused-kernel plans: only over REAL edges (the span
@@ -218,11 +232,11 @@ def build_rel_edges(
 
     offsets = tuple(int(v) for v in np.concatenate([[0], np.cumsum(group_sizes)]))
     return RelEdges(
-        src=jnp.asarray(src),
-        dst=jnp.asarray(dst),
-        norm=jnp.asarray(norm),
-        group_sizes=jnp.asarray(group_sizes),
-        rel=jnp.asarray(typ),
+        src=src,
+        dst=dst,
+        norm=norm,
+        group_sizes=group_sizes,
+        rel=typ,
         bwd_perm=bwd_perm,
         bwd_src=bwd_src,
         bwd_keys=None,

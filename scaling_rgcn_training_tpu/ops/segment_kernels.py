@@ -68,8 +68,11 @@ def plan_segmented_reduce(keys: np.ndarray, num_segments: int,
     # rows can span one extra block
     max_chunks = int(-(-per_bucket.max() // chunk)) + 1 if len(per_bucket) else 1
     e_pad = -(-len(keys) // chunk) * chunk
+    # host (numpy) leaves: callers convert whole plan pytrees to device
+    # arrays at their public boundary (utils/plancache.to_device) so the
+    # on-disk plan cache never round-trips through the accelerator
     return SegmentPlan(
-        offsets=jnp.asarray(offs), num_segments=int(num_segments),
+        offsets=offs, num_segments=int(num_segments),
         bucket_rows=int(bucket_rows), chunk=int(chunk),
         max_chunks=max(1, max_chunks), padded_edges=int(max(e_pad, chunk)))
 

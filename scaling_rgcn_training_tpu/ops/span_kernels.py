@@ -198,14 +198,14 @@ def plan_rel_span(
             np.ascontiguousarray(rel), np.ascontiguousarray(norm),
             num_segments, num_slots, s, chunk, kspan, shift)
         if packed is not None:
+            # host (numpy) leaves throughout the plan builders: the public
+            # builders convert once at the end (utils/plancache.to_device)
             return RelSpanEdges(
-                gather_idx=jnp.asarray(packed["gather"]),
-                code=jnp.asarray(pack_edge_cols(packed["code"],
-                                                int(packed["chunk"]))),
-                norm=jnp.asarray(pack_edge_cols(packed["norm"],
-                                                int(packed["chunk"]))),
-                offsets=jnp.asarray(packed["offsets"]),
-                rbase=jnp.asarray(packed["rbase"]),
+                gather_idx=packed["gather"],
+                code=pack_edge_cols(packed["code"], int(packed["chunk"])),
+                norm=pack_edge_cols(packed["norm"], int(packed["chunk"])),
+                offsets=packed["offsets"],
+                rbase=packed["rbase"],
                 num_segments=int(num_segments), num_slots=int(num_slots),
                 bucket_rows=int(s), chunk=int(packed["chunk"]),
                 max_chunks=int(packed["max_chunks"]), kspan=int(kspan),
@@ -313,11 +313,11 @@ def plan_rel_span(
     e_pad = offsets[-1]
 
     return RelSpanEdges(
-        gather_idx=jnp.asarray(np.concatenate(out_g)),
-        code=jnp.asarray(pack_edge_cols(np.concatenate(out_c), chunk)),
-        norm=jnp.asarray(pack_edge_cols(np.concatenate(out_n), chunk)),
-        offsets=jnp.asarray(np.asarray(offsets, np.int32)),
-        rbase=jnp.asarray(rbase.reshape(-1)),
+        gather_idx=np.concatenate(out_g),
+        code=pack_edge_cols(np.concatenate(out_c), chunk),
+        norm=pack_edge_cols(np.concatenate(out_n), chunk),
+        offsets=np.asarray(offsets, np.int32),
+        rbase=rbase.reshape(-1),
         num_segments=int(num_segments), num_slots=int(num_slots),
         bucket_rows=int(s), chunk=int(chunk), max_chunks=int(max_chunks),
         kspan=int(kspan), shift=int(shift), padded_edges=int(e_pad))
@@ -656,8 +656,7 @@ def stack_spans(spans: list[RelSpanEdges]) -> RelSpanEdges:
                ((0, 0), (0, mc_max - sp.max_chunks))).reshape(-1)
         for sp in spans])
     return RelSpanEdges(
-        gather_idx=jnp.asarray(g), code=jnp.asarray(c), norm=jnp.asarray(nrm),
-        offsets=jnp.asarray(offs), rbase=jnp.asarray(rb),
+        gather_idx=g, code=c, norm=nrm, offsets=offs, rbase=rb,
         num_segments=s0.num_segments, num_slots=s0.num_slots,
         bucket_rows=s0.bucket_rows, chunk=s0.chunk, max_chunks=mc_max,
         kspan=s0.kspan, shift=s0.shift, padded_edges=e_max)

@@ -134,15 +134,21 @@ def halo_partition_edges(
     """Host-side, once per graph: dst-owner partition + halo exchange plan.
 
     ``cache_dir``: persist/load the plan on disk (utils/plancache.py)."""
-    if cache_dir:
-        from scaling_rgcn_training_tpu.utils.plancache import get_or_build
+    from scaling_rgcn_training_tpu.utils.plancache import get_or_build
 
-        return get_or_build(
-            cache_dir, "haloedges", (edge_src, edge_dst, edge_type),
-            (num_nodes, num_slots, num_shards, pad_to_multiple, halo_multiple),
-            lambda: halo_partition_edges(
-                edge_src, edge_dst, edge_type, num_nodes, num_slots,
-                num_shards, pad_to_multiple, halo_multiple))
+    return get_or_build(
+        cache_dir, "haloedges", (edge_src, edge_dst, edge_type),
+        (num_nodes, num_slots, num_shards, pad_to_multiple, halo_multiple),
+        lambda: _halo_partition_edges_host(
+            edge_src, edge_dst, edge_type, num_nodes, num_slots,
+            num_shards, pad_to_multiple, halo_multiple))
+
+
+def _halo_partition_edges_host(
+    edge_src, edge_dst, edge_type, num_nodes, num_slots, num_shards,
+    pad_to_multiple, halo_multiple,
+) -> HaloShardedEdges:
+    """Host-side build with numpy leaves (see utils/plancache.to_device)."""
     edge_src = np.asarray(edge_src, np.int32)
     edge_dst = np.asarray(edge_dst, np.int32)
     edge_type = np.asarray(edge_type, np.int32)
@@ -233,11 +239,9 @@ def halo_partition_edges(
     return HaloShardedEdges(
         lfspan=stack_spans(lf_plans), lbspan=stack_spans(lb_plans),
         hfspan=stack_spans(hf_plans), hbspan=stack_spans(hb_plans),
-        lsrc=jnp.asarray(lsrc), ldst=jnp.asarray(ldst),
-        lnorm=jnp.asarray(lnorm), lgs=jnp.asarray(lgs),
-        hsrc=jnp.asarray(hsrc), hdst=jnp.asarray(hdst),
-        hnorm=jnp.asarray(hnorm), hgs=jnp.asarray(hgs),
-        send_idx=jnp.asarray(send_idx),
+        lsrc=lsrc, ldst=ldst, lnorm=lnorm, lgs=lgs,
+        hsrc=hsrc, hdst=hdst, hnorm=hnorm, hgs=hgs,
+        send_idx=send_idx,
         num_nodes=int(num_nodes), n_per=int(n_per), halo=int(h),
         num_shards=int(s_n))
 

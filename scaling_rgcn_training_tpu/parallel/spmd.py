@@ -65,14 +65,20 @@ def shard_rel_edges(
     """Host-side: sort globally, normalize, cut into equal padded shards.
 
     ``cache_dir``: persist/load the plan on disk (utils/plancache.py)."""
-    if cache_dir:
-        from scaling_rgcn_training_tpu.utils.plancache import get_or_build
+    from scaling_rgcn_training_tpu.utils.plancache import get_or_build
 
-        return get_or_build(
-            cache_dir, "shardededges", (edge_src, edge_dst, edge_type),
-            (num_nodes, num_slots, num_shards, pad_to_multiple),
-            lambda: shard_rel_edges(edge_src, edge_dst, edge_type, num_nodes,
-                                    num_slots, num_shards, pad_to_multiple))
+    return get_or_build(
+        cache_dir, "shardededges", (edge_src, edge_dst, edge_type),
+        (num_nodes, num_slots, num_shards, pad_to_multiple),
+        lambda: _shard_rel_edges_host(edge_src, edge_dst, edge_type,
+                                      num_nodes, num_slots, num_shards,
+                                      pad_to_multiple))
+
+
+def _shard_rel_edges_host(edge_src, edge_dst, edge_type, num_nodes,
+                          num_slots, num_shards,
+                          pad_to_multiple) -> ShardedRelEdges:
+    """Host-side build with numpy leaves (see utils/plancache.to_device)."""
     edge_src = np.asarray(edge_src, np.int32)
     edge_dst = np.asarray(edge_dst, np.int32)
     edge_type = np.asarray(edge_type, np.int32)
@@ -103,8 +109,8 @@ def shard_rel_edges(
         s_gs[s, num_slots - 1] += per - n  # padding rows -> empty slot
 
     return ShardedRelEdges(
-        src=jnp.asarray(s_src), dst=jnp.asarray(s_dst), norm=jnp.asarray(s_norm),
-        group_sizes=jnp.asarray(s_gs), num_nodes=int(num_nodes),
+        src=s_src, dst=s_dst, norm=s_norm,
+        group_sizes=s_gs, num_nodes=int(num_nodes),
         num_shards=int(num_shards))
 
 

@@ -57,12 +57,21 @@ def _to_host(obj):
     return jax.tree_util.tree_map(np.asarray, obj)
 
 
-def _to_device(obj):
+def to_device(obj):
+    """Convert a host-built (numpy-leaf) plan pytree to device arrays.
+
+    Builders construct plans entirely in numpy so that caching never
+    fetches arrays back through the accelerator (over the axon tunnel a
+    device->host pull of an AM-scale plan costs minutes); this is the one
+    conversion point."""
     import jax.numpy as jnp
 
     import jax
 
     return jax.tree_util.tree_map(jnp.asarray, obj)
+
+
+_to_device = to_device
 
 
 def save_plan(path: str, obj) -> None:
@@ -82,10 +91,12 @@ def get_or_build(cache_dir: str | None, kind: str,
                  build: Callable[[], object]):
     """Load the cached plan for (kind, inputs) or build + persist it.
 
-    ``cache_dir=None`` (or empty) disables caching entirely.
+    ``build`` must return a HOST (numpy-leaf) plan; the result is
+    converted to device arrays on the way out. ``cache_dir=None`` (or
+    empty) disables caching.
     """
     if not cache_dir:
-        return build()
+        return to_device(build())
     arrays = [np.asarray(a) for a in arrays]
     key = plan_key(kind, arrays, statics)
     os.makedirs(cache_dir, exist_ok=True)
@@ -97,4 +108,4 @@ def get_or_build(cache_dir: str | None, kind: str,
             pass  # corrupt/partial file: rebuild and overwrite
     obj = build()
     save_plan(path, obj)
-    return obj
+    return to_device(obj)

@@ -36,43 +36,54 @@ def test_baseline_learns(synth_data):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("compute_dtype,floors", [
-    (None, {"summation": 0.55, "mlp": 0.70, "attention": 0.80}),
-    ("bfloat16", {"summation": 0.55, "mlp": 0.665, "attention": 0.80}),
-], ids=["f32", "bf16"])
-def test_transfer_matrix_beats_baseline(synth_data, compute_dtype, floors):
+@pytest.mark.parametrize("compute_dtype", [None, "bfloat16"],
+                         ids=["f32", "bf16"])
+def test_transfer_matrix_beats_baseline(synth_data, compute_dtype):
     """The reference's core scientific claim (README.md:5-14): summary
-    pre-training + transfer outperforms the from-scratch baseline — and it
+    pre-training + transfer outperforms the from-scratch baseline, with
+    the head ordering attention >= mlp >= summation > baseline — and it
     must hold in the TPU-default mixed-precision regime too (bf16 edge
     streams / f32 accumulation, the bench.py default), not just f32.
-    Recorded seed values (21-node test split, 1 flip = 4.8 points):
-      f32  baseline 0.571, summation 0.667, mlp 0.810, attention 0.905
-      bf16 baseline 0.571, summation 0.619, mlp 0.762, attention 0.905
-    — floors sit ~2 test-node flips below each."""
+
+    Asserted on MEANS over 3 seeds (the 21-node test split makes any
+    single seed fragile: 1 node flip = 4.8 points; a mean moves 1.6).
+    Recorded means at 30 epochs:
+      f32  baseline 0.540, summation 0.730, mlp 0.794, attention 0.857
+      bf16 baseline 0.556, summation 0.746, mlp 0.826, attention 0.841
+    Ordering tolerances allow ~3 mean-level flips; the transfer-vs-
+    baseline gap (>=0.19 measured) is asserted at >=0.05."""
     cfg_b = {"dataset": "SYNTH", "num_sums": 1, "e_trans": False,
              "w_trans": False}
-    t0 = Trainer(synth_data, hidden_l=16, epochs=40, emb_dim=24, lr=0.01,
-                 weight_d=5e-5, seed=0, backend="gather",
-                 compute_dtype=compute_dtype)
-    base_acc = t0.train_original("summation", cfg_b, "baseline",
-                                 verbose=False)["test_acc"]
-
     configs = {"dataset": "SYNTH", "num_sums": 3, "e_trans": True,
                "e_freeze": True, "w_trans": True, "w_grad": True}
-    t = Trainer(synth_data, hidden_l=16, epochs=40, emb_dim=24, lr=0.01,
-                weight_d=5e-5, seed=1, backend="gather",
-                compute_dtype=compute_dtype)
-    t.train_summaries(configs, verbose=False)
-    accs = {}
+    accs = {e: [] for e in ["baseline", "summation", "mlp", "attention"]}
+    for seed in range(3):
+        t0 = Trainer(synth_data, hidden_l=16, epochs=30, emb_dim=24,
+                     lr=0.01, weight_d=5e-5, seed=seed * 10,
+                     backend="gather", compute_dtype=compute_dtype)
+        accs["baseline"].append(t0.train_original(
+            "summation", cfg_b, "baseline", verbose=False)["test_acc"])
+        t = Trainer(synth_data, hidden_l=16, epochs=30, emb_dim=24,
+                    lr=0.01, weight_d=5e-5, seed=seed * 10 + 1,
+                    backend="gather", compute_dtype=compute_dtype)
+        t.train_summaries(configs, verbose=False)
+        for exp in ["summation", "mlp", "attention"]:
+            res = t.train_original(exp, configs, exp, verbose=False)
+            accs[exp].append(res["test_acc"])
+            assert np.isfinite(res["loss"]).all()
+            assert res["loss"][-1] < res["loss"][0]  # training progresses
+    mean = {e: float(np.mean(v)) for e, v in accs.items()}
+    # head ordering (reference README.md:5-14 claim), mean-level tolerance
+    assert mean["attention"] >= mean["mlp"] - 0.05, mean
+    assert mean["mlp"] >= mean["summation"] - 0.05, mean
+    # every transfer head clearly beats the from-scratch baseline
     for exp in ["summation", "mlp", "attention"]:
-        res = t.train_original(exp, configs, exp, verbose=False)
-        accs[exp] = res["test_acc"]
-        assert np.isfinite(res["loss"]).all()
-        assert res["loss"][-1] < res["loss"][0]  # training progresses
-        assert accs[exp] >= floors[exp], (exp, accs[exp])
-    # every transfer head matches or beats the baseline experiment
-    for exp, acc in accs.items():
-        assert acc >= base_acc - 1e-6, (exp, acc, base_acc)
+        assert mean[exp] >= mean["baseline"] + 0.05, (exp, mean)
+    assert mean["attention"] >= mean["baseline"] + 0.15, mean
+    # absolute floors (≈3 mean-level flips under the recorded means)
+    floors = {"summation": 0.60, "mlp": 0.70, "attention": 0.75}
+    for exp, fl in floors.items():
+        assert mean[exp] >= fl, (exp, mean)
 
 
 @pytest.mark.slow
