@@ -79,20 +79,21 @@ class RelSpanEdges(NamedTuple):
     ``rbase``: per-(bucket, chunk) base relation, clamped so the
     ``kspan``-wide weight slice stays in range.
 
-    Layout: ``code`` and ``norm`` are stored COLUMN-PACKED as
-    ``[Ep/128, 128]`` tiles (:func:`pack_edge_cols`), column-major within
-    each chunk. A per-edge ``[Ep, 1]`` column array would be tiled
-    ``T(8,128)`` by XLA — a 128x padding expansion in BOTH HBM bytes at
-    rest and kernel stream traffic (measured: 6.48 GB for a 52 MB array
-    at AM scale, the r3 OOM). The kernels rebuild the ``[chunk, 1]``
-    column in VMEM via sublane-repeat + a static lane-select mask + a
-    lane reduction (Mosaic rejects the direct ``[chunk/128,128] ->
-    [chunk,1]`` shape cast).
+    Layout: ``code`` and ``norm`` are stored TILE-PACKED, one ``[8, 128]``
+    tile per chunk (:func:`pack_edge_cols`). A per-edge ``[Ep, 1]``
+    column array would be tiled ``T(8,128)`` by XLA — a 128x padding
+    expansion in BOTH HBM bytes at rest and kernel stream traffic
+    (measured: 6.48 GB for a 52 MB array at AM scale, the r3 OOM). The
+    kernels rebuild the ``[chunk, 1]`` column in VMEM via sublane
+    tile-repeat + a static lane-select mask + a lane reduction (Mosaic
+    rejects the direct shape cast, and Pallas rejects blocks whose
+    second-minor dim is not a multiple of 8 — hence the fixed 8-row
+    tile).
     """
 
     gather_idx: jnp.ndarray    # int32 [Ep]
-    code: jnp.ndarray          # int32 [Ep/128, 128] column-packed
-    norm: jnp.ndarray          # float32 [Ep/128, 128] column-packed
+    code: jnp.ndarray          # int32 [Ep/chunk*8, 128] tile-packed
+    norm: jnp.ndarray          # float32 [Ep/chunk*8, 128] tile-packed
     offsets: jnp.ndarray       # int32 [num_buckets + 1]
     rbase: jnp.ndarray         # int32 [num_buckets * max_chunks]
     num_segments: int
@@ -115,32 +116,41 @@ jax.tree_util.register_pytree_node(
 
 
 def pack_edge_cols(a: np.ndarray, chunk: int) -> np.ndarray:
-    """Pack a flat per-edge array [Ep] -> [Ep/128, 128], column-major per
-    chunk: ``packed[c*R + i, j] = a[c*chunk + j*R + i]`` with
-    ``R = chunk // 128``. See :class:`RelSpanEdges` for why."""
-    r = chunk // 128
-    return np.ascontiguousarray(
-        np.asarray(a).reshape(-1, 128, r).transpose(0, 2, 1).reshape(-1, 128))
+    """Pack a flat per-edge array [Ep] into one [8, 128] tile per chunk ->
+    [Ep/chunk*8, 128]: ``packed[c*8 + i, j] = a[c*chunk + j*8 + i]``
+    (``j < chunk/8`` lanes used; the rest zero). A fixed 8-row tile keeps
+    the Pallas block shape (8, 128) legal for EVERY chunk size (blocks
+    need a second-minor dim divisible by 8 — chunk=256's (2, 128) is
+    rejected at lowering). See :class:`RelSpanEdges` for why packing at
+    all."""
+    a = np.asarray(a)
+    assert chunk % 8 == 0 and chunk <= 1024, chunk
+    n_chunks = len(a) // chunk
+    out = np.zeros((n_chunks, 8, 128), a.dtype)
+    out[:, :, :chunk // 8] = a.reshape(n_chunks, chunk // 8, 8
+                                       ).transpose(0, 2, 1)
+    return np.ascontiguousarray(out.reshape(n_chunks * 8, 128))
 
 
 def unpack_edge_cols(a2: np.ndarray, chunk: int) -> np.ndarray:
     """Inverse of :func:`pack_edge_cols` -> flat [Ep]."""
-    r = chunk // 128
-    return np.ascontiguousarray(
-        np.asarray(a2).reshape(-1, r, 128).transpose(0, 2, 1).reshape(-1))
+    a2 = np.asarray(a2)
+    n_chunks = a2.shape[0] // 8
+    t = a2.reshape(n_chunks, 8, 128)[:, :, :chunk // 8]
+    return np.ascontiguousarray(t.transpose(0, 2, 1).reshape(-1))
 
 
 def _rebuild_cols(code_ref, norm_ref, chunk: int):
-    """In-kernel: column-packed [chunk/128, 128] tiles -> ([chunk, 1] i32,
-    [chunk, 1] f32) edge columns (sublane-repeat + static lane select)."""
-    r = chunk // 128
-    tc = code_ref[...]
+    """In-kernel: one tile-packed [8, 128] block -> ([chunk, 1] i32,
+    [chunk, 1] f32) edge columns (sublane tile-repeat + static lane
+    select + lane reduction; Mosaic rejects the direct shape cast)."""
+    tc = code_ref[...]                       # [8, 128]
     tn = norm_ref[...]
-    xc = pltpu.repeat(tc, 128, axis=0)       # [chunk, 128]: xc[e] = tc[e % r]
-    xn = pltpu.repeat(tn, 128, axis=0)
+    xc = pltpu.repeat(tc, chunk // 8, axis=0)  # [chunk, 128]: xc[e] = tc[e%8]
+    xn = pltpu.repeat(tn, chunk // 8, axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
     erow = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 0)
-    sel = lane == erow // r                  # col[e] = t[e % r, e // r]
+    sel = lane == erow // 8                  # col[e] = t[e % 8, e // 8]
     code = jnp.sum(jnp.where(sel, xc, 0), axis=1, keepdims=True)
     norm = jnp.sum(jnp.where(sel, xn, jnp.float32(0)), axis=1, keepdims=True)
     return code, norm
@@ -165,9 +175,9 @@ def plan_rel_span(
     """
     s = bucket_rows or _DEF_BUCKET_ROWS
     kspan = min(kspan or _DEF_KSPAN, num_slots)
-    assert chunk % 128 == 0, (
-        f"span chunk must be a multiple of 128 (column-packed code/norm "
-        f"tiles), got {chunk}")
+    assert chunk % 128 == 0 and chunk <= 1024, (
+        f"span chunk must be a multiple of 128 and <= 1024 (tile-packed "
+        f"code/norm, one [8, 128] tile per chunk), got {chunk}")
     gather_idx = np.asarray(gather_idx, np.int32)
     key = np.asarray(key, np.int64)
     rel = np.asarray(rel, np.int32)
@@ -423,8 +433,8 @@ def rel_span_matmul_scatter(vals: jnp.ndarray, span: RelSpanEdges,
         num_scalar_prefetch=2,
         grid=(num_buckets, span.max_chunks),
         in_specs=[
-            pl.BlockSpec((chunk // 128, 128), edge_block),
-            pl.BlockSpec((chunk // 128, 128), edge_block),
+            pl.BlockSpec((8, 128), edge_block),
+            pl.BlockSpec((8, 128), edge_block),
             pl.BlockSpec((chunk, d_in), edge_block),
             const_block((slots * d_out, d_in)),
             const_block((kq, d_out)),
@@ -547,8 +557,8 @@ def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
         num_scalar_prefetch=2,
         grid=(num_buckets, span.max_chunks),
         in_specs=[
-            pl.BlockSpec((chunk // 128, 128), edge_block),
-            pl.BlockSpec((chunk // 128, 128), edge_block),
+            pl.BlockSpec((8, 128), edge_block),
+            pl.BlockSpec((8, 128), edge_block),
             pl.BlockSpec((chunk, d_out), edge_block),
             pl.BlockSpec((s, d_in), lambda j, ci, offs, rb: (j, 0)),
             const_block((rq, d_in)),
@@ -638,10 +648,11 @@ def stack_spans(spans: list[RelSpanEdges]) -> RelSpanEdges:
         return a
 
     def pad_cols(sp, arr, fill):
-        # code/norm are column-packed [Ep/128, 128]; dead trailing rows are
-        # never computed on (base < e_hi guard), values just need validity
+        # code/norm are tile-packed [Ep/chunk*8, 128]; dead trailing rows
+        # are never computed on (base < e_hi guard), values just need
+        # validity
         a = np.asarray(arr)
-        rows = e_max // 128
+        rows = e_max // s0.chunk * 8
         if a.shape[0] < rows:
             a = np.concatenate(
                 [a, np.full((rows - a.shape[0], 128), fill, a.dtype)])
