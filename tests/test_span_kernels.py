@@ -35,6 +35,20 @@ def _random_graph(rng, n, e, slots):
     return src, dst, rel, norm
 
 
+@pytest.mark.parametrize("chunk", [128, 256, 512, 1024])
+def test_pack_edge_cols_roundtrip(chunk):
+    """Tile-packing bijection for every legal chunk size (the Pallas block
+    is always (8, 128); chunk=256 is the AM-shape adaptive choice that a
+    [chunk/128, 128] packing failed to lower for)."""
+    rng = np.random.default_rng(chunk)
+    a = rng.integers(0, 1 << 30, 4 * chunk).astype(np.int32)
+    p = pack_edge_cols(a, chunk)
+    assert p.shape == (4 * 8, 128)
+    assert np.array_equal(unpack_edge_cols(p, chunk), a)
+    f = rng.random(4 * chunk).astype(np.float32)
+    assert np.array_equal(unpack_edge_cols(pack_edge_cols(f, chunk), chunk), f)
+
+
 def test_plan_rel_span_structure():
     """Chunk-aligned buckets; every chunk's relations inside its band."""
     rng = np.random.default_rng(0)
