@@ -119,11 +119,18 @@ for k in counts:
     y = jax.device_put(jax.nn.one_hot(np.arange(1024) % c, c), rep)
     idx = jax.device_put(jnp.arange(1024), rep)
 
+    # CPU arms: the ragged_dot grad compile takes tens of minutes on the
+    # XLA CPU backend (the r3 run produced nothing in 35 min); the gather
+    # backend compiles in seconds and exercises the identical collective
+    # structure, which is what the virtual-device run measures.
+    conv_backend = "gather" if jax.default_backend() == "cpu" else None
+
     def one_step(ps, st, he):
         def loss_of(p):
             e_, a_, b_ = p
-            z = jax.nn.relu(halo_rgcn_conv(e_, he, a_, mesh))
-            logits = halo_rgcn_conv(z, he, b_, mesh)
+            z = jax.nn.relu(halo_rgcn_conv(e_, he, a_, mesh,
+                                           backend=conv_backend))
+            logits = halo_rgcn_conv(z, he, b_, mesh, backend=conv_backend)
             return bce_loss(logits[idx], y)
 
         loss, grads = jax.value_and_grad(loss_of)(ps)

@@ -71,10 +71,16 @@ print(f"backend={jax.default_backend()} devices={s_n} N={n} E={e} "
       f"slots={slots} d={d}->{h} halo_rows={edges.halo}", flush=True)
 
 
+# the ragged_dot grad/compile path is pathologically slow on the XLA CPU
+# backend; the gather backend runs the identical collective structure
+conv_backend = "gather" if jax.default_backend() == "cpu" else None
+
+
 def arm(name: str):
     def agg_chain(c, xx, ww):
         def body(cc, _):
-            out = halo_aggregate(xx * (1 + 1e-12 * cc), ww, edges, mesh)
+            out = halo_aggregate(xx * (1 + 1e-12 * cc), ww, edges, mesh,
+                                 backend=conv_backend)
             return out.ravel()[0].astype(jnp.float32), None
         return lax.scan(body, c, None, length=inner)[0]
 
