@@ -78,7 +78,16 @@ def _cached_fit_fn(apply_fn, loss_fn, activation, sum_graph, epochs,
         new_params = optax.apply_updates(params, updates)
         return (new_params, new_opt_state, rng), (loss, acc, f1_w, f1_m)
 
-    @jax.jit
+    # distributed runs: ask for the async all-to-all lowering so the halo
+    # exchange overlaps the owner-local aggregation (parallel/mesh.py)
+    opts = None
+    if mesh is not None:
+        from scaling_rgcn_training_tpu.parallel.mesh import (
+            async_collective_options)
+
+        opts = async_collective_options()
+
+    @functools.partial(jax.jit, compiler_options=opts)
     def run(params, opt_state, rng, graph):
         return jax.lax.scan(
             functools.partial(epoch_step, graph),

@@ -24,7 +24,10 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE the CPU backend (not setdefault: the shell exports
+# JAX_PLATFORMS=axon, and a 1-chip tunnel can't host a multi-device
+# mesh). OV_BACKEND overrides for a real multi-chip slice.
+os.environ["JAX_PLATFORMS"] = os.environ.get("OV_BACKEND", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
