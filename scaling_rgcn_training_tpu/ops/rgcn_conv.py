@@ -225,9 +225,14 @@ def _build_rel_edges_host(
     fspan = plan_rel_span(src[real], dst[real], typ[real], norm[real],
                           num_nodes, num_slots,
                           bucket_rows=int(_os.environ.get("RGCN_SPAN_FWD_S", 0)))
+    # bwd buckets default to 256 rows: post tile-packing, the r4 sweep
+    # (scripts/sweep_span.py + quiet-host true_piece) has s=256 saving
+    # ~0.9 ms (L1) + ~2.9 ms (L2) over 512 at the bench shape, while the
+    # fwd kernel is flat in s (padding no longer carries phantom streams)
     bspan = plan_rel_span(dst[real], src[real], typ[real], norm[real],
                           num_nodes, num_slots,
-                          bucket_rows=int(_os.environ.get("RGCN_SPAN_BWD_S", 0)),
+                          bucket_rows=int(_os.environ.get("RGCN_SPAN_BWD_S",
+                                                          0)) or 256,
                           kspan=int(_os.environ.get("RGCN_SPAN_BWD_K", 0)))
 
     offsets = tuple(int(v) for v in np.concatenate([[0], np.cumsum(group_sizes)]))
@@ -370,11 +375,13 @@ def _aggregate_fwd_impl(x, w, edges: RelEdges, mode, backend):
         # ONE relation-banded kernel: per-edge relational matmul +
         # write-once scatter over dst-bucketed edges; only the [E, d_in]
         # source gather stays in XLA
-        from scaling_rgcn_training_tpu.ops.span_kernels import rel_span_matmul_scatter
+        from scaling_rgcn_training_tpu.ops.span_kernels import (
+            plan_take, rel_span_matmul_scatter)
 
         span = edges.fspan
         # standalone pure gather; the kernel applies span.norm itself
-        vals = jnp.take(x, span.gather_idx, axis=0)
+        # (plan_take: indices are plan-built, skip XLA's OOB clamp select)
+        vals = plan_take(x, span.gather_idx)
         return rel_span_matmul_scatter(vals, span, w).astype(acc)
     if mode == "prematmul":
         slots = w.shape[0]
@@ -440,8 +447,11 @@ def _aggregate_bwd(mode, backend, res, g_out):
         # in VMEM). The only XLA pass is re-gathering the cotangent from
         # the small [N, d_out] table in span order — cheaper than permuting
         # the [E, d_out] message stream.
+        from scaling_rgcn_training_tpu.ops.span_kernels import plan_take
+
         span = edges.bspan
-        t = jnp.take(g_out, span.gather_idx, axis=0).astype(w.dtype)
+        # cast before the gather: convert [N, d_out] once, not [E, d_out]
+        t = plan_take(g_out.astype(w.dtype), span.gather_idx)
         dx, dw = rel_span_backward_scatter(t, span, x, w)
         dx = dx.astype(x.dtype)
         dw = dw.astype(w.dtype)

@@ -59,7 +59,9 @@ elif piece == "k2f":
     fn = lambda c, o: rel_span_matmul_scatter(
         o["a"] * (1 + 1e-12 * c).astype(bf), o["fsp"], o["w"]).ravel()[0]
 elif piece == "k1b":
-    ops = {"t": mk((ep, h), bf), "x": mk((n, d), bf),
+    # the cotangent stream is in BWD span order: bspan's padded size (the
+    # fwd/bwd plans pad differently when their bucket sizes differ)
+    ops = {"t": mk((bsp.padded_edges, h), bf), "x": mk((n, d), bf),
            "w": mk((slots, d, h), bf), "bsp": bsp}
 
     def fn(c, o):
@@ -67,7 +69,7 @@ elif piece == "k1b":
             o["t"] * (1 + 1e-12 * c).astype(bf), o["bsp"], o["x"], o["w"])
         return dx.ravel()[0] + dw.ravel()[0]
 elif piece == "k2b":
-    ops = {"t": mk((ep, c_dim), bf), "x": mk((n, h), bf),
+    ops = {"t": mk((bsp.padded_edges, c_dim), bf), "x": mk((n, h), bf),
            "w": mk((slots, h, c_dim), bf), "bsp": bsp}
 
     def fn(c, o):
