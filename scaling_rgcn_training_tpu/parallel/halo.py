@@ -90,18 +90,22 @@ class HaloShardedEdges(NamedTuple):
     lbspan: Optional[object] = None
     hfspan: Optional[object] = None
     hbspan: Optional[object] = None
+    # stacked FusedHaloPlan (parallel/fused_halo.py): the one-kernel
+    # exchange+aggregate path (RGCN_HALO_PALLAS_A2A=fused)
+    fplan: Optional[object] = None
 
 
 jax.tree_util.register_pytree_node(
     HaloShardedEdges,
     lambda e: ((e.lsrc, e.ldst, e.lnorm, e.lgs,
                 e.hsrc, e.hdst, e.hnorm, e.hgs, e.send_idx,
-                e.lfspan, e.lbspan, e.hfspan, e.hbspan),
+                e.lfspan, e.lbspan, e.hfspan, e.hbspan, e.fplan),
                (e.num_nodes, e.n_per, e.halo, e.num_shards)),
     lambda aux, ch: HaloShardedEdges(*ch[:9], num_nodes=aux[0], n_per=aux[1],
                                      halo=aux[2], num_shards=aux[3],
                                      lfspan=ch[9], lbspan=ch[10],
-                                     hfspan=ch[11], hbspan=ch[12]),
+                                     hfspan=ch[11], hbspan=ch[12],
+                                     fplan=ch[13]),
 )
 
 
@@ -196,8 +200,11 @@ def _halo_partition_edges_host(
 
     from scaling_rgcn_training_tpu.ops.span_kernels import (
         plan_rel_span, stack_spans)
+    from scaling_rgcn_training_tpu.parallel.fused_halo import (
+        plan_fused_halo, stack_fused_plans)
 
     lf_plans, lb_plans, hf_plans, hb_plans = [], [], [], []
+    fused_plans = []
     for s in range(s_n):
         src_s, dst_s, typ_s, norm_s, src_owner, own = shards[s]
         # owner-local segment: src indexes x_own directly
@@ -235,10 +242,18 @@ def _halo_partition_edges_host(
                                       n_per, num_slots, chunk=ch(hf_plans)))
         hb_plans.append(plan_rel_span(h_dst, loc, typ_s[rem], norm_s[rem],
                                       s_n * h, num_slots, chunk=ch(hb_plans)))
+        # one-kernel exchange+aggregate plan (parallel/fused_halo.py):
+        # local + halo edges in ring-arrival order, gather-free blocks
+        if num_slots <= 512:
+            fused_plans.append(plan_fused_halo(
+                s, l_src, l_dst, typ_s[own], norm_s[own],
+                loc, h_dst, typ_s[rem], norm_s[rem],
+                n_per, h, s_n, num_slots))
 
     return HaloShardedEdges(
         lfspan=stack_spans(lf_plans), lbspan=stack_spans(lb_plans),
         hfspan=stack_spans(hf_plans), hbspan=stack_spans(hb_plans),
+        fplan=stack_fused_plans(fused_plans) if fused_plans else None,
         lsrc=lsrc, ldst=ldst, lnorm=lnorm, lgs=lgs,
         hsrc=hsrc, hdst=hdst, hnorm=hnorm, hgs=hgs,
         send_idx=send_idx,
@@ -275,7 +290,8 @@ def device_put_halo_edges(edges: HaloShardedEdges, mesh: Mesh) -> HaloShardedEdg
         num_nodes=edges.num_nodes, n_per=edges.n_per, halo=edges.halo,
         num_shards=edges.num_shards,
         lfspan=put_span(edges.lfspan), lbspan=put_span(edges.lbspan),
-        hfspan=put_span(edges.hfspan), hbspan=put_span(edges.hbspan))
+        hfspan=put_span(edges.hfspan), hbspan=put_span(edges.hbspan),
+        fplan=put_span(edges.fplan))
 
 
 def node_sharding(mesh: Mesh) -> NamedSharding:
@@ -312,12 +328,29 @@ def halo_aggregate(
              or bool(_os.environ.get("RGCN_HALO_FUSED")))
         and backend is None)
 
+    pallas_mode = _os.environ.get("RGCN_HALO_PALLAS_A2A")
+    use_fused_onekernel = (
+        pallas_mode == "fused" and edges.fplan is not None and use_fused)
+
     def body(x_own, lsrc, ldst, lnorm, lgs, hsrc, hdst, hnorm, hgs,
              send_idx, spans, w_rep):
         # x_own [n_per, d]; plan rows arrive with a leading length-1 shard axis
         send = jnp.take(x_own, send_idx[0].reshape(-1), axis=0)      # [S*H, d]
+        if use_fused_onekernel:
+            # ONE Pallas kernel: remote-DMA exchange + gather-free local
+            # + per-peer halo aggregation (parallel/fused_halo.py) —
+            # overlap by construction, not by scheduler
+            from scaling_rgcn_training_tpu.parallel.fused_halo import (
+                fused_halo_apply, shard_fused_plan)
+
+            fp, lb, hb = spans
+            agg = fused_halo_apply(
+                x_own, send, w_rep, shard_fused_plan(fp), shard_span(lb),
+                shard_span(hb), EDGE_AXIS,
+                jax.default_backend() != "tpu")
+            return agg[:n_per].astype(jnp.float32)
         send = send.reshape(edges.num_shards, edges.halo, -1)
-        if _os.environ.get("RGCN_HALO_PALLAS_A2A"):
+        if pallas_mode:
             # experimental: the exchange as an explicit Pallas remote-DMA
             # kernel (parallel/ring_halo.py) instead of lax.all_to_all
             from scaling_rgcn_training_tpu.parallel.ring_halo import (
@@ -351,8 +384,11 @@ def halo_aggregate(
         return out + jax.ops.segment_sum(hmsg * hnorm[0][:, None], hdst[0],
                                          num_segments=n_per)
 
-    spans = ((edges.lfspan, edges.lbspan, edges.hfspan, edges.hbspan)
-             if use_fused else ())
+    if use_fused_onekernel:
+        spans = (edges.fplan, edges.lbspan, edges.hbspan)
+    else:
+        spans = ((edges.lfspan, edges.lbspan, edges.hfspan, edges.hbspan)
+                 if use_fused else ())
     shard = P(EDGE_AXIS)
     return jax.shard_map(
         body, mesh=mesh,
