@@ -52,7 +52,19 @@ import os as _os
 _DEF_CHUNK = int(_os.environ.get("RGCN_SPAN_CHUNK", 1024))
 _DEF_BUCKET_ROWS = int(_os.environ.get("RGCN_SPAN_BUCKET_ROWS", 512))
 _DEF_KSPAN = int(_os.environ.get("RGCN_SPAN_K", 16))
-_SUB = int(_os.environ.get("RGCN_SPAN_SUB", 512))
+# sub-chunk rows per inner iteration. 1024 (= whole chunk) measured best
+# at the bench shape post tile-packing: one iteration per chunk, fewer
+# [sub, s] one-hot materializations in flight (r4 sweep: fwd kernels
+# 15.1 -> 13.7/13.9 ms; step 78.8 -> 76.7 ms). The fwd bucket stays 512:
+# s=256 inflates fspan padding ~11% and the longer gathers cost more
+# than the narrower one-hots save (step 107 ms measured).
+_SUB = int(_os.environ.get("RGCN_SPAN_SUB", 1024))
+# a mis-set knob must fail loudly, not silently drop edge rows: the kernels
+# process chunks in sub-chunks of min(chunk, _SUB) rows and rely on the sub
+# loop covering the whole chunk
+assert _SUB >= 128 and _SUB % 128 == 0 and 1024 % _SUB == 0, (
+    f"RGCN_SPAN_SUB must be a power-of-two multiple of 128 dividing 1024 "
+    f"(got {_SUB}): chunks are <=1024 rows and must be covered exactly")
 # above this many weight bytes the VMEM-resident stack no longer pays off
 _MAX_W_BYTES = int(_os.environ.get("RGCN_FUSED_MAX_W_BYTES", 6 << 20))
 
