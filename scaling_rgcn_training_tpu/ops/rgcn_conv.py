@@ -228,12 +228,19 @@ def _build_rel_edges_host(
     # bwd buckets default to 256 rows: post tile-packing, the r4 sweep
     # (scripts/sweep_span.py + quiet-host true_piece) has s=256 saving
     # ~0.9 ms (L1) + ~2.9 ms (L2) over 512 at the bench shape, while the
-    # fwd kernel is flat in s (padding no longer carries phantom streams)
+    # fwd kernel is flat in s. BUT halved buckets double the (bucket,
+    # relation-band) cells, and on many-relation graphs the chunk padding
+    # explodes (measured: AM shape, 267 slots, s=256 blew HBM by 6 GB) -
+    # so fall back to 512 when the padded size runs away from fspan's.
+    bwd_s_env = int(_os.environ.get("RGCN_SPAN_BWD_S", 0))
+    bwd_k = int(_os.environ.get("RGCN_SPAN_BWD_K", 0))
     bspan = plan_rel_span(dst[real], src[real], typ[real], norm[real],
                           num_nodes, num_slots,
-                          bucket_rows=int(_os.environ.get("RGCN_SPAN_BWD_S",
-                                                          0)) or 256,
-                          kspan=int(_os.environ.get("RGCN_SPAN_BWD_K", 0)))
+                          bucket_rows=bwd_s_env or 256, kspan=bwd_k)
+    if not bwd_s_env and bspan.padded_edges > 1.25 * fspan.padded_edges:
+        bspan = plan_rel_span(dst[real], src[real], typ[real], norm[real],
+                              num_nodes, num_slots, bucket_rows=512,
+                              kspan=bwd_k)
 
     offsets = tuple(int(v) for v in np.concatenate([[0], np.cumsum(group_sizes)]))
     return RelEdges(

@@ -27,7 +27,7 @@ from typing import Callable, Iterable
 import numpy as np
 
 # bump when any plan NamedTuple layout / packing convention changes
-_VERSION = 4
+_VERSION = 5  # v5: bwd span bucket default 256 (defaults are plan semantics)
 
 # env knobs that change plan contents (ops/span_kernels.py,
 # ops/segment_kernels.py, ops/rgcn_conv.py read these at build time)
