@@ -27,6 +27,11 @@ The reference has no distributed backend at all (SURVEY.md §2: no
 torch.distributed anywhere); this is TPU-native ICI programming, not a
 translation.
 
+Hardware status: the kernel compiles and matches the oracle on a real
+v5e chip at S=1 (Mosaic lowering of the grid + DMA + semaphore
+structure verified on hardware; multi-chip execution awaits a real
+slice — this environment has one chip).
+
 Testing note: interpret-mode emulation of this kernel needs one live
 thread per device; on the 2-core CI host the 8-device emulation wedges
 in interpreter buffer allocation before any kernel statement runs
@@ -417,7 +422,10 @@ def fused_halo_aggregate_fwd(x_own, send, w, plan: FusedHaloPlan,
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=0),
+            has_side_effects=True,
+            # the barrier semaphore exists only in the multi-shard kernel;
+            # Mosaic rejects collective_id without one (hit at S=1 on TPU)
+            collective_id=0 if s_n > 1 else None),
         interpret=interpret or False,
     )(plan.read_blk, plan.dst_bkt, plan.rbase, plan.rank_start,
       plan.code, plan.norm, send, x_own, w_flat, g_mat)
