@@ -21,6 +21,11 @@ def test_cache_dir_configured_and_populated(tmp_path, monkeypatch):
     path = jaxcache.enable()
     assert path == d and os.path.isdir(d)
     assert jax.config.jax_compilation_cache_dir == d
+    # the cache backend binds its directory at first use; earlier tests in
+    # a full-suite run may already have initialized it elsewhere
+    from jax._src import compilation_cache
+
+    compilation_cache.reset_cache()
     # force a fresh, non-trivial compilation (min compile time is 1s in
     # jaxcache; a big-enough program on CPU crosses it only sometimes, so
     # drop the threshold for the test)
