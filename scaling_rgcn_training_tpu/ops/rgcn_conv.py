@@ -517,14 +517,16 @@ def rgcn_conv(
         mesh = current_mesh()
         assert mesh is not None, (
             "rgcn_conv got sharded edges outside a parallel.use_mesh(...) scope")
-        return sharded_rgcn_conv(x, edges, params, mesh, backend=backend)
+        return sharded_rgcn_conv(x, edges, params, mesh, backend=backend,
+                                 compute_dtype=compute_dtype)
     if type(edges).__name__ == "HaloShardedEdges":
         from scaling_rgcn_training_tpu.parallel import current_mesh, halo_rgcn_conv
 
         mesh = current_mesh()
         assert mesh is not None, (
             "rgcn_conv got halo-sharded edges outside a parallel.use_mesh(...) scope")
-        return halo_rgcn_conv(x, edges, params, mesh, backend=backend)
+        return halo_rgcn_conv(x, edges, params, mesh, backend=backend,
+                              compute_dtype=compute_dtype)
 
     w = materialize_weight(params)
     if mode == "auto":

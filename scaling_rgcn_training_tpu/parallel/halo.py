@@ -402,14 +402,25 @@ def halo_aggregate(
 
 
 def halo_rgcn_conv(x, edges: HaloShardedEdges, params, mesh: Mesh,
-                   backend: Optional[str] = None) -> jnp.ndarray:
+                   backend: Optional[str] = None,
+                   compute_dtype=None) -> jnp.ndarray:
     """Node-sharded R-GCN layer: [S*n_per, in] -> [S*n_per, out].
 
     Same math as ops.rgcn_conv.rgcn_conv (PyG RGCNConv semantics,
     SURVEY.md L0); the root/bias term is embarrassingly node-local.
+    ``compute_dtype`` (e.g. bfloat16): the per-edge streams — the halo
+    exchange itself included, HALVING the ICI bytes on the wire — run in
+    the low dtype while every reduction and the output stay f32, exactly
+    like the single-chip mixed-precision regime.
     """
     from scaling_rgcn_training_tpu.ops.rgcn_conv import materialize_weight
 
     w = materialize_weight(params)
-    agg = halo_aggregate(x, w, edges, mesh, backend=backend)
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        agg = halo_aggregate(x.astype(cd), w.astype(cd), edges, mesh,
+                             backend=backend)
+    else:
+        agg = halo_aggregate(x, w, edges, mesh, backend=backend)
+    # root/bias stays f32 (node-sized, carries the residual precision)
     return agg + x @ params.root + params.bias

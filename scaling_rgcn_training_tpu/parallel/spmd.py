@@ -157,11 +157,18 @@ def sharded_aggregate(
 
 
 def sharded_rgcn_conv(x, edges: ShardedRelEdges, params, mesh: Mesh,
-                      backend: Optional[str] = None) -> jnp.ndarray:
+                      backend: Optional[str] = None,
+                      compute_dtype=None) -> jnp.ndarray:
     """Drop-in R-GCN conv over partitioned edges (same math as
-    ops.rgcn_conv.rgcn_conv — PyG RGCNConv semantics, SURVEY.md L0)."""
+    ops.rgcn_conv.rgcn_conv — PyG RGCNConv semantics, SURVEY.md L0).
+    ``compute_dtype``: low-precision per-edge streams, f32 reductions."""
     from scaling_rgcn_training_tpu.ops.rgcn_conv import materialize_weight
 
     w = materialize_weight(params)
-    agg = sharded_aggregate(x, w, edges, mesh, backend=backend)
+    if compute_dtype is not None:
+        cd = jnp.dtype(compute_dtype)
+        agg = sharded_aggregate(x.astype(cd), w.astype(cd), edges, mesh,
+                                backend=backend)
+    else:
+        agg = sharded_aggregate(x, w, edges, mesh, backend=backend)
     return agg + x @ params.root + params.bias

@@ -70,6 +70,19 @@ def test_halo_conv_grads_match(mesh8):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_halo_conv_bf16_streams(mesh8):
+    """compute_dtype=bfloat16 reaches the distributed path (it was
+    silently dropped by the dispatch until r4): bf16 per-edge streams —
+    including the exchange bytes — f32 reductions, output close to f32."""
+    x, xp, params, dense, hedges, n = _setup(mesh8, seed=4)
+    want = rgcn_conv(x, dense, params, backend="gather")
+    got = halo_rgcn_conv(xp, hedges, params, mesh8, backend="gather",
+                         compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(got)[:n], np.asarray(want), rtol=3e-2,
+        atol=3e-2 * float(np.abs(np.asarray(want)).max()))
+
+
 def test_halo_dispatch_via_use_mesh(mesh8):
     x, xp, params, dense, hedges, n = _setup(mesh8, seed=3)
     want = rgcn_conv(x, dense, params, backend="gather")
