@@ -124,13 +124,17 @@ for k in counts:
     # backend compiles in seconds and exercises the identical collective
     # structure, which is what the virtual-device run measures.
     conv_backend = "gather" if jax.default_backend() == "cpu" else None
+    cd = jnp.bfloat16 if os.environ.get(
+        "BENCH_COMPUTE_DTYPE", "").lower() in ("bf16", "bfloat16") else None
 
     def one_step(ps, st, he):
         def loss_of(p):
             e_, a_, b_ = p
             z = jax.nn.relu(halo_rgcn_conv(e_, he, a_, mesh,
-                                           backend=conv_backend))
-            logits = halo_rgcn_conv(z, he, b_, mesh, backend=conv_backend)
+                                           backend=conv_backend,
+                                           compute_dtype=cd))
+            logits = halo_rgcn_conv(z, he, b_, mesh, backend=conv_backend,
+                                    compute_dtype=cd)
             return bce_loss(logits[idx], y)
 
         loss, grads = jax.value_and_grad(loss_of)(ps)
