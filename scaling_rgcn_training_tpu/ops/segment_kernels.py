@@ -50,15 +50,22 @@ import os as _os
 # ~µs-scale fixed cost (measured: the old 512/512 tiling spent ~40 ms on
 # grid overhead at E=4M, M=200k), so fat tiles win as long as the one-hot
 # [chunk, bucket_rows] intermediate stays well inside VMEM.
-_DEF_BUCKET_ROWS = int(_os.environ.get("RGCN_SEG_BUCKET_ROWS", 512))
-_DEF_CHUNK = int(_os.environ.get("RGCN_SEG_CHUNK", 2048))
+# env knobs read at plan time (not import) so late-set values take effect
+
+
+def _def_bucket_rows() -> int:
+    return int(_os.environ.get("RGCN_SEG_BUCKET_ROWS", 512))
+
+
+def _def_chunk() -> int:
+    return int(_os.environ.get("RGCN_SEG_CHUNK", 2048))
 
 
 def plan_segmented_reduce(keys: np.ndarray, num_segments: int,
                           bucket_rows: int = 0, chunk: int = 0) -> SegmentPlan:
     """Host-side: bucket edge ranges for sorted ``keys`` (static data)."""
-    bucket_rows = bucket_rows or _DEF_BUCKET_ROWS
-    chunk = chunk or _DEF_CHUNK
+    bucket_rows = bucket_rows or _def_bucket_rows()
+    chunk = chunk or _def_chunk()
     keys = np.asarray(keys)
     num_buckets = -(-num_segments // bucket_rows)
     bounds = np.arange(num_buckets + 1, dtype=np.int64) * bucket_rows

@@ -49,24 +49,50 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-_DEF_CHUNK = int(_os.environ.get("RGCN_SPAN_CHUNK", 1024))
-_DEF_BUCKET_ROWS = int(_os.environ.get("RGCN_SPAN_BUCKET_ROWS", 512))
-_DEF_KSPAN = int(_os.environ.get("RGCN_SPAN_K", 16))
-# sub-chunk rows per inner iteration. 1024 (= whole chunk) measured best
-# at the bench shape post tile-packing: one iteration per chunk, fewer
-# [sub, s] one-hot materializations in flight (r4 sweep: fwd kernels
-# 15.1 -> 13.7/13.9 ms; step 78.8 -> 76.7 ms). The fwd bucket stays 512:
-# s=256 inflates fspan padding ~11% and the longer gathers cost more
-# than the narrower one-hots save (step 107 ms measured).
-_SUB = int(_os.environ.get("RGCN_SPAN_SUB", 1024))
-# a mis-set knob must fail loudly, not silently drop edge rows: the kernels
-# process chunks in sub-chunks of min(chunk, _SUB) rows and rely on the sub
-# loop covering the whole chunk
-assert _SUB >= 128 and _SUB % 128 == 0 and 1024 % _SUB == 0, (
-    f"RGCN_SPAN_SUB must be a power-of-two multiple of 128 dividing 1024 "
-    f"(got {_SUB}): chunks are <=1024 rows and must be covered exactly")
-# above this many weight bytes the VMEM-resident stack no longer pays off
-_MAX_W_BYTES = int(_os.environ.get("RGCN_FUSED_MAX_W_BYTES", 6 << 20))
+# Env knobs are read at CALL/PLAN time, not import time: the knob values
+# key the on-disk plan cache (utils/plancache.py), so a knob set after
+# import must still take effect (and a mis-set one must fail loudly).
+
+
+def _def_chunk() -> int:
+    return int(_os.environ.get("RGCN_SPAN_CHUNK", 1024))
+
+
+def _def_bucket_rows() -> int:
+    return int(_os.environ.get("RGCN_SPAN_BUCKET_ROWS", 512))
+
+
+def _def_kspan() -> int:
+    return int(_os.environ.get("RGCN_SPAN_K", 16))
+
+
+def _sub_rows(chunk: int) -> int:
+    """Sub-chunk rows per kernel inner iteration, validated against chunk.
+
+    1024 (= whole chunk) measured best at the bench shape post
+    tile-packing: one iteration per chunk, fewer [sub, s] one-hot
+    materializations in flight (r4 sweep: fwd kernels 15.1 -> 13.7/13.9
+    ms; step 78.8 -> 76.7 ms). The fwd bucket stays 512: s=256 inflates
+    fspan padding ~11% and the longer gathers cost more than the
+    narrower one-hots save (step 107 ms measured).
+    """
+    sub = int(_os.environ.get("RGCN_SPAN_SUB", 1024))
+    assert sub >= 128 and sub % 128 == 0 and 1024 % sub == 0, (
+        f"RGCN_SPAN_SUB must be a power-of-two multiple of 128 dividing "
+        f"1024 (got {sub}): chunks are <=1024 rows, covered exactly")
+    sub = min(chunk, sub)
+    # the kernels process each chunk in chunk//sub sub-iterations and rely
+    # on that loop covering the whole chunk — a non-dividing combination
+    # would silently drop the tail edge rows
+    assert chunk % sub == 0, (
+        f"RGCN_SPAN_SUB={sub} does not divide the plan chunk {chunk}; "
+        f"tail edge rows would be dropped")
+    return sub
+
+
+def _max_w_bytes() -> int:
+    # above this many weight bytes the VMEM-resident stack stops paying off
+    return int(_os.environ.get("RGCN_FUSED_MAX_W_BYTES", 6 << 20))
 
 
 def fused_ok(num_slots: int, d_in: int, d_out: int, itemsize: int = 4) -> bool:
@@ -77,7 +103,7 @@ def fused_ok(num_slots: int, d_in: int, d_out: int, itemsize: int = 4) -> bool:
     footprint near the ``RGCN_FUSED_MAX_W_BYTES`` threshold.
     """
     d_pad = -(-d_out // 8) * 8
-    return num_slots * d_in * d_pad * itemsize <= _MAX_W_BYTES
+    return num_slots * d_in * d_pad * itemsize <= _max_w_bytes()
 
 
 class RelSpanEdges(NamedTuple):
@@ -185,8 +211,8 @@ def plan_rel_span(
     whose relation span is < ``kspan``, padding chunk tails where a new
     relation would overflow the band. Buckets are padded to whole chunks.
     """
-    s = bucket_rows or _DEF_BUCKET_ROWS
-    kspan = min(kspan or _DEF_KSPAN, num_slots)
+    s = bucket_rows or _def_bucket_rows()
+    kspan = min(kspan or _def_kspan(), num_slots)
     assert chunk % 128 == 0 and chunk <= 1024, (
         f"span chunk must be a multiple of 128 and <= 1024 (tile-packed "
         f"code/norm, one [8, 128] tile per chunk), got {chunk}")
@@ -238,7 +264,7 @@ def plan_rel_span(
     b_end = np.searchsorted(bucket, np.arange(num_buckets), side="right")
 
     if not chunk and len(rel) == 0:
-        chunk = _DEF_CHUNK
+        chunk = _def_chunk()
     if not chunk:
         # Adaptive chunk: every maximal kspan-relation band rounds up to a
         # whole chunk, so sparse (bucket, band) runs — many relation slots,
@@ -349,7 +375,7 @@ def plan_rel_span(
 
 def _fwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, vals_ref, w_ref,
                 g_ref, out_ref, *, s: int, chunk: int, d_out: int,
-                shift: int, kq: int, max_chunks: int):
+                shift: int, kq: int, max_chunks: int, sub: int):
     j = pl.program_id(0)
     ci = pl.program_id(1)
     e_lo = offs_ref[j]
@@ -370,7 +396,6 @@ def _fwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, vals_ref, w_ref,
         w_sl = w_ref[pl.ds(pl.multiple_of(rb * d_out, 8), kq), :]
         dtype = vals_ref.dtype
         code_col, norm_col = _rebuild_cols(code_ref, norm_ref, chunk)
-        sub = min(chunk, _SUB)
         for q in range(chunk // sub):
             sl = pl.ds(q * sub, sub)
             vals = vals_ref[sl, :]                          # [sub, d_in]
@@ -456,7 +481,7 @@ def rel_span_matmul_scatter(vals: jnp.ndarray, span: RelSpanEdges,
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, s=s, chunk=chunk, d_out=d_out,
                           shift=span.shift, kq=kq,
-                          max_chunks=span.max_chunks),
+                          max_chunks=span.max_chunks, sub=_sub_rows(chunk)),
         out_shape=jax.ShapeDtypeStruct((m_pad, d_out), jnp.float32),
         grid_spec=grid_spec,
     )(span.offsets, span.rbase, span.code, span.norm, vals, w_flat, g_mat)
@@ -468,7 +493,7 @@ def rel_span_matmul_scatter(vals: jnp.ndarray, span: RelSpanEdges,
 def _bwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, t_ref, x_ref,
                 w_ref, tm_ref, dx_ref, dw_ref, *, s: int, chunk: int,
                 d_out: int, shift: int, kq: int, max_chunks: int,
-                slots: int):
+                slots: int, sub: int):
     j = pl.program_id(0)
     ci = pl.program_id(1)
     e_lo = offs_ref[j]
@@ -491,7 +516,6 @@ def _bwd_kernel(offs_ref, rbase_ref, code_ref, norm_ref, t_ref, x_ref,
         dtype = t_ref.dtype
         kspan = kq // d_out
         code_col, norm_col = _rebuild_cols(code_ref, norm_ref, chunk)
-        sub = min(chunk, _SUB)
         for q in range(chunk // sub):
             sl = pl.ds(q * sub, sub)
             # apply the mean-norm to the RAW gathered cotangent rows here
@@ -584,7 +608,8 @@ def rel_span_backward_scatter(t: jnp.ndarray, span: RelSpanEdges,
     dx, dw_flat = pl.pallas_call(
         functools.partial(_bwd_kernel, s=s, chunk=chunk, d_out=d_out,
                           shift=span.shift, kq=kq,
-                          max_chunks=span.max_chunks, slots=slots),
+                          max_chunks=span.max_chunks, slots=slots,
+                          sub=_sub_rows(chunk)),
         out_shape=[
             jax.ShapeDtypeStruct((m_pad, d_in), jnp.float32),
             jax.ShapeDtypeStruct((rq, d_in), jnp.float32),

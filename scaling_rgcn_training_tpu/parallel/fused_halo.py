@@ -117,6 +117,19 @@ def plan_fused_halo(shard: int, l_src, l_dst, l_rel, l_norm,
     """
     kspan = min(kspan, num_slots)
     t = tile_rows
+    # the per-edge code packs (src_local, dst_local, rel) into
+    # 13 + 9 + 9 bits — a too-large tile or relation vocabulary would
+    # silently bleed across fields (the num_slots<=512 gate at the
+    # halo.py call site is not the only entry point)
+    assert num_slots <= (1 << _SHIFT_DST), (
+        f"fused halo plan packs rel into {_SHIFT_DST} bits; "
+        f"num_slots={num_slots} overflows")
+    assert t <= (1 << _SHIFT_DST), (
+        f"fused halo plan packs dst_local into {_SHIFT_DST} bits; "
+        f"tile_rows={t} overflows")
+    assert t <= (1 << (31 - _SHIFT_SRC)), (
+        f"fused halo plan packs src_local above bit {_SHIFT_SRC}; "
+        f"tile_rows={t} overflows int32")
     n_x_pad = -(-n_per // t) * t
     h_pad = -(-max(halo, 1) // t) * t
 

@@ -331,6 +331,20 @@ def halo_aggregate(
     pallas_mode = _os.environ.get("RGCN_HALO_PALLAS_A2A")
     use_fused_onekernel = (
         pallas_mode == "fused" and edges.fplan is not None and use_fused)
+    if pallas_mode == "fused" and not use_fused_onekernel:
+        # requested one-kernel path unavailable (no fused plan — e.g.
+        # num_slots > 512 — or a non-fused backend): fall back to the
+        # default lax.all_to_all exchange, NOT the experimental ring
+        # exchange the generic `if pallas_mode:` branch would pick
+        import warnings
+
+        warnings.warn(
+            "RGCN_HALO_PALLAS_A2A=fused requested but the one-kernel "
+            "fused halo path is unavailable "
+            f"(fplan={'set' if edges.fplan is not None else 'None'}, "
+            f"fused_ok/backend gate={use_fused}); "
+            "falling back to lax.all_to_all", stacklevel=2)
+        pallas_mode = None
 
     def body(x_own, lsrc, ldst, lnorm, lgs, hsrc, hdst, hnorm, hgs,
              send_idx, spans, w_rep):

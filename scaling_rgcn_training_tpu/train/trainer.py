@@ -146,7 +146,7 @@ class Trainer:
         self.ckpt_tag = ""              # set per iteration by the driver
         self.rng = jax.random.key(seed)
         self.sum_params = None          # trained summary model (EmbModelParams)
-        self._device_graphs: Dict[int, DeviceGraph] = {}
+        self._device_graphs: Dict[int, Tuple[Graph, DeviceGraph]] = {}
 
     # -- helpers -----------------------------------------------------------
 
@@ -155,12 +155,17 @@ class Trainer:
         return sub
 
     def _device_graph(self, graph: Graph) -> DeviceGraph:
+        # keyed by id(graph) WITH a strong reference to the Graph held in
+        # the value: the id stays valid exactly as long as the entry lives,
+        # so a gc'd Graph can never alias a stale DeviceGraph
         key = id(graph)
-        if key not in self._device_graphs:
-            self._device_graphs[key] = build_device_graph(
+        hit = self._device_graphs.get(key)
+        if hit is None or hit[0] is not graph:
+            hit = (graph, build_device_graph(
                 graph, mesh=self.mesh, partition=self.partition,
-                reorder=self.reorder, plan_cache=self.plan_cache)
-        return self._device_graphs[key]
+                reorder=self.reorder, plan_cache=self.plan_cache))
+            self._device_graphs[key] = hit
+        return hit[1]
 
     def _mesh_scope(self):
         if self.mesh is None:

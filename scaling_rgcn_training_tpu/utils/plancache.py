@@ -15,6 +15,11 @@ leaves converted to host numpy (atomic rename on write). The key hashes
 the *inputs*, so any edit to the raw graph or the layout knobs misses
 cleanly; `_VERSION` must be bumped whenever the plan layout changes
 (e.g. the column-packed code/norm layout of RelSpanEdges).
+
+Trust model: plans are PICKLES. Loading executes whatever the file says,
+so the cache dir must be private to the user/job (the default — a local
+path the trainer owns). Do NOT point ``plan_cache`` at a directory other
+principals can write to (e.g. a world-writable shared checkpoint dir).
 """
 
 from __future__ import annotations
@@ -104,8 +109,14 @@ def get_or_build(cache_dir: str | None, kind: str,
     if os.path.exists(path):
         try:
             return load_plan(path)
-        except Exception:
-            pass  # corrupt/partial file: rebuild and overwrite
+        except (pickle.UnpicklingError, EOFError, OSError, ValueError,
+                AttributeError, ImportError) as e:
+            # corrupt/partial/stale-format file: rebuild and overwrite —
+            # but say so, a silently-discarded cache hides real I/O issues
+            import warnings
+
+            warnings.warn(f"discarding unreadable plan cache entry "
+                          f"{path}: {type(e).__name__}: {e}", stacklevel=2)
     obj = build()
     save_plan(path, obj)
     return to_device(obj)

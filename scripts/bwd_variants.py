@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from scaling_rgcn_training_tpu.ops import build_rel_edges
-from scaling_rgcn_training_tpu.ops.span_kernels import _SUB, unpack_edge_cols
+from scaling_rgcn_training_tpu.ops.span_kernels import _sub_rows, unpack_edge_cols
 
 n = int(os.environ.get("V_NODES", 200_000))
 e = int(os.environ.get("V_EDGES", 4_000_000))
@@ -98,7 +98,7 @@ def make_bwd(variant: str):
             w_sl = w_ref[pl.ds(off, kq), :]
             dtype = t_ref.dtype
             kspan = kq // d_out
-            sub = min(chunk, _SUB)
+            sub = _sub_rows(chunk)
             for q in range(chunk // sub):
                 sl = pl.ds(q * sub, sub)
                 if variant == "wide":

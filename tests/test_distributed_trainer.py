@@ -82,3 +82,95 @@ def test_cli_devices_flag(synth_data, tmp_path):
     assert runs, "distributed CLI run produced no report"
     report = json.loads(runs[0].read_text())
     assert "baseline" in json.dumps(report)
+
+
+# -- all three heads under the mesh (VERDICT r4 #2) ---------------------------
+# The attention/MLP front-ends touch the padded/permuted [K, N_pad, d]
+# embedding layout (train/trainer.py _pad_embedding) — distributed coverage
+# for exactly that layout. Attention's MHA dropout mask depends on the
+# padded table size, so its *training* trajectory cannot be bitwise-compared
+# across device counts; it gets strict eval-mode forward parity + a full
+# distributed training run instead. The MLP head is deterministic, so its
+# whole loss curve must match the single-device run.
+
+HEAD_CONFIGS = {"dataset": "SYNTH", "e_trans": True, "e_freeze": True,
+                "w_trans": True, "w_grad": True, "num_sums": 3}
+
+
+def _head_kw():
+    # emb_dim must be a multiple of num_sums (3 attr summaries): MHA heads
+    # = num_sums (reference helpers/checks.py:12-18)
+    return dict(hidden_l=8, epochs=6, emb_dim=9, lr=0.01, weight_d=5e-5,
+                seed=0, backend="gather")
+
+
+def test_mlp_distributed_matches_single(synth_data):
+    t1 = Trainer(synth_data, **_head_kw())
+    t1.train_summaries(HEAD_CONFIGS, verbose=False)
+    res1 = t1.train_original("mlp", HEAD_CONFIGS, "mlp", verbose=False)
+
+    t8 = Trainer(synth_data, **_head_kw(), devices=8, partition="halo",
+                 reorder=True)
+    t8.train_summaries(HEAD_CONFIGS, verbose=False)
+    res8 = t8.train_original("mlp", HEAD_CONFIGS, "mlp", verbose=False)
+
+    np.testing.assert_allclose(res8["loss"], res1["loss"], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(res8["accuracy"], res1["accuracy"], atol=1e-6)
+
+
+def test_attention_distributed_forward_parity(synth_data):
+    """Eval-mode logits through the distributed [K, N_pad, d] MHA front-end
+    match the single-device model on identical params (strict allclose)."""
+    import jax.numpy as jnp
+
+    from scaling_rgcn_training_tpu.models import heads as model_heads
+    from scaling_rgcn_training_tpu.train.transfer import EMBEDDING_TRICKS
+
+    t1 = Trainer(synth_data, **_head_kw())
+    t1.train_summaries(HEAD_CONFIGS, verbose=False)
+    og = synth_data.orgGraph
+    emb = EMBEDDING_TRICKS["attention"](og, synth_data.sumGraphs, 9,
+                                        jax.random.key(42))
+    params = model_heads.init_att_model(
+        jax.random.key(7), og.num_relation_slots, 8,
+        synth_data.num_classes, og.num_nodes, 9, num_sums=3)
+    params = params._replace(embedding=jnp.asarray(emb))
+
+    dg1 = t1._device_graph(og)
+    logits1 = model_heads.apply_att_model(params, dg1.edges, train=False,
+                                          backend="gather")
+
+    t8 = Trainer(synth_data, **_head_kw(), devices=8, partition="halo",
+                 reorder=True)
+    dg8 = t8._device_graph(og)
+    p8 = params._replace(embedding=t8._pad_embedding(
+        params.embedding, dg8, og.num_nodes))
+    with t8._mesh_scope():
+        logits8 = model_heads.apply_att_model(p8, dg8.edges, train=False,
+                                              backend="gather")
+    # distributed logits come back in relabeled order; undo the perm
+    l8 = t8._export_embedding(logits8, dg8, og.num_nodes)
+    np.testing.assert_allclose(l8, np.asarray(logits1), rtol=2e-4, atol=2e-5)
+
+
+def test_attention_distributed_end_to_end(synth_data):
+    """Full distributed train_original with the attention head: transfer,
+    [K, N_pad, d] MHA front-end + dropout, halo R-GCN, bf16 streams."""
+    t8 = Trainer(synth_data, **_head_kw(), devices=8, partition="halo",
+                 reorder=True, compute_dtype="bfloat16")
+    t8.train_summaries(HEAD_CONFIGS, verbose=False)
+    res = t8.train_original("attention", HEAD_CONFIGS, "attention",
+                            verbose=False)
+    assert np.isfinite(res["loss"]).all()
+    assert res["loss"][-1] < res["loss"][0]
+    assert 0.0 <= res["test_acc"] <= 1.0
+
+
+def test_mlp_distributed_bf16(synth_data):
+    """bf16 streams through the distributed MLP path stay finite and learn."""
+    t8 = Trainer(synth_data, **_head_kw(), devices=8, partition="halo",
+                 reorder=True, compute_dtype="bfloat16")
+    t8.train_summaries(HEAD_CONFIGS, verbose=False)
+    res = t8.train_original("mlp", HEAD_CONFIGS, "mlp", verbose=False)
+    assert np.isfinite(res["loss"]).all()
+    assert res["loss"][-1] < res["loss"][0]
