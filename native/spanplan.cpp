@@ -61,6 +61,47 @@ int64_t span_estimate(int64_t e, const int64_t* key, const int32_t* rel,
   return n_bands;
 }
 
+// Pass 1b: EXACT padded size for one candidate chunk — a dry run of the
+// span_pack walk below (window base slides when a chunk fills naturally,
+// which the band model above cannot see; the band estimate overstates
+// padding for small chunks and mispicks the candidate — measured at the
+// bench shape it chose 1024 where 512 is 4.20M vs 4.80M padded rows,
+// a 2.5 ms/step difference on v5e).
+int64_t span_padded_exact(int64_t e, const int64_t* key, const int32_t* rel,
+                          int64_t s, int32_t chunk, int32_t kspan) {
+  int64_t w = 0;
+  int64_t fill = 0;
+  int64_t cur_b = -1;
+  int32_t last_rb = 0;
+  for (int64_t i = 0; i < e;) {
+    int64_t b = key[i] / s;
+    int32_t r = rel[i];
+    int64_t j = i;
+    while (j < e && key[j] / s == b && rel[j] == r) ++j;
+    if (b != cur_b) {
+      if (fill) w += chunk - fill;
+      fill = 0;
+      cur_b = b;
+    } else if (fill && r - last_rb >= kspan) {
+      w += chunk - fill;
+      fill = 0;
+    }
+    int64_t p = i;
+    while (p < j) {
+      if (fill == 0) last_rb = r;
+      int64_t take = chunk - fill;
+      if (take > j - p) take = j - p;
+      w += take;
+      fill += take;
+      p += take;
+      if (fill == chunk) fill = 0;
+    }
+    i = j;
+  }
+  if (fill) w += chunk - fill;
+  return w;
+}
+
 // Pass 2: pack into chunk-aligned buckets, mirroring the Python greedy
 // exactly: chunks close when the next relation overflows the current
 // chunk's base band (pad to boundary) or when full; bucket tails pad to

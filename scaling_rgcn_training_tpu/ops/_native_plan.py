@@ -44,6 +44,10 @@ def get_lib():
     lib.span_estimate.argtypes = [
         ctypes.c_int64, _i64p, _i32p, ctypes.c_int64, ctypes.c_int32,
         _i32p, ctypes.c_int32, _i64p]
+    lib.span_padded_exact.restype = ctypes.c_int64
+    lib.span_padded_exact.argtypes = [
+        ctypes.c_int64, _i64p, _i32p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32]
     lib.span_pack.restype = ctypes.c_int64
     lib.span_pack.argtypes = [
         ctypes.c_int64, _i32p, _i64p, _i32p, _f32p,
@@ -61,24 +65,27 @@ def pack(gather: np.ndarray, key: np.ndarray, rel: np.ndarray,
          chunk_candidates=(1024, 512, 256)) -> Optional[dict]:
     """Sorted inputs -> packed plan arrays, or None (no native lib).
 
-    ``chunk=0`` picks the adaptive chunk from the band-length stats
-    (same policy as the Python packer: min padded size, larger chunk
-    wins within 10%).
+    ``chunk=0`` picks the adaptive chunk by EXACT padded size per
+    candidate (a dry run of the packer walk — the old band-length
+    estimate could not see window slides at chunk refills and mispicked;
+    same policy as the Python packer: min padded size, larger chunk wins
+    within 10%).
     """
     lib = get_lib()
     if lib is None or len(rel) == 0:
         return None
     e = len(rel)
-    cands = np.asarray(chunk_candidates, np.int32)
-    padded = np.zeros(len(cands), np.int64)
-    n_bands = lib.span_estimate(e, key, rel, s, kspan, cands, len(cands),
-                                padded)
     if not chunk:
-        best = int(padded.min())
-        chunk = int(max(int(c) for c, p in zip(cands, padded)
-                        if p <= 1.1 * best))
+        sizes = {int(c): int(lib.span_padded_exact(e, key, rel, s, int(c),
+                                                   kspan))
+                 for c in chunk_candidates}
+        best = min(sizes.values())
+        chunk = max(c for c, p in sizes.items() if p <= 1.1 * best)
+        exact = sizes[chunk]
+    else:
+        exact = int(lib.span_padded_exact(e, key, rel, s, chunk, kspan))
     nb = -(-num_segments // s)
-    cap_edges = e + (n_bands + nb + 1) * chunk
+    cap_edges = exact + chunk
     cap_chunks = cap_edges // chunk + nb + 1
     out_g = np.empty(cap_edges, np.int32)
     out_c = np.empty(cap_edges, np.int32)

@@ -224,7 +224,8 @@ def _build_rel_edges_host(
     real = norm > 0
     fspan = plan_rel_span(src[real], dst[real], typ[real], norm[real],
                           num_nodes, num_slots,
-                          bucket_rows=int(_os.environ.get("RGCN_SPAN_FWD_S", 0)))
+                          bucket_rows=int(_os.environ.get("RGCN_SPAN_FWD_S", 0)),
+                          chunk=int(_os.environ.get("RGCN_SPAN_FWD_CHUNK", 0)))
     # bwd buckets default to 256 rows: post tile-packing, the r4 sweep
     # (scripts/sweep_span.py + quiet-host true_piece) has s=256 saving
     # ~0.9 ms (L1) + ~2.9 ms (L2) over 512 at the bench shape, while the
@@ -234,13 +235,15 @@ def _build_rel_edges_host(
     # so fall back to 512 when the padded size runs away from fspan's.
     bwd_s_env = int(_os.environ.get("RGCN_SPAN_BWD_S", 0))
     bwd_k = int(_os.environ.get("RGCN_SPAN_BWD_K", 0))
+    bwd_chunk = int(_os.environ.get("RGCN_SPAN_BWD_CHUNK", 0))
     bspan = plan_rel_span(dst[real], src[real], typ[real], norm[real],
                           num_nodes, num_slots,
-                          bucket_rows=bwd_s_env or 256, kspan=bwd_k)
+                          bucket_rows=bwd_s_env or 256, kspan=bwd_k,
+                          chunk=bwd_chunk)
     if not bwd_s_env and bspan.padded_edges > 1.25 * fspan.padded_edges:
         bspan = plan_rel_span(dst[real], src[real], typ[real], norm[real],
                               num_nodes, num_slots, bucket_rows=512,
-                              kspan=bwd_k)
+                              kspan=bwd_k, chunk=bwd_chunk)
 
     offsets = tuple(int(v) for v in np.concatenate([[0], np.cumsum(group_sizes)]))
     return RelEdges(

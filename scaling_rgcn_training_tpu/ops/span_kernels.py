@@ -55,7 +55,9 @@ import os as _os
 
 
 def _def_chunk() -> int:
-    return int(_os.environ.get("RGCN_SPAN_CHUNK", 1024))
+    """RGCN_SPAN_CHUNK: 0 (default) = adaptive choice from {1024, 512,
+    256} by exact padded size; nonzero forces that chunk."""
+    return int(_os.environ.get("RGCN_SPAN_CHUNK", 0))
 
 
 def _def_bucket_rows() -> int:
@@ -194,6 +196,46 @@ def _rebuild_cols(code_ref, norm_ref, chunk: int):
     return code, norm
 
 
+def _padded_exact(bucket: np.ndarray, rel: np.ndarray, chunk: int,
+                  kspan: int) -> int:
+    """Exact padded edge count for one candidate chunk: a dry run of the
+    packer walk over (bucket, relation-group) boundaries (mirrors
+    native/spanplan.cpp span_padded_exact; inputs pre-sorted)."""
+    if len(rel) == 0:
+        return 0
+    grp = np.flatnonzero(np.r_[True, (np.diff(rel) != 0)
+                               | (np.diff(bucket) != 0)])
+    grp_end = np.r_[grp[1:], len(rel)]
+    w = 0
+    fill = 0
+    cur_b = -1
+    last_rb = 0
+    for g0, g1 in zip(grp.tolist(), grp_end.tolist()):
+        b = int(bucket[g0])
+        r = int(rel[g0])
+        n = g1 - g0
+        if b != cur_b:
+            if fill:
+                w += chunk - fill
+            fill = 0
+            cur_b = b
+        elif fill and r - last_rb >= kspan:
+            w += chunk - fill
+            fill = 0
+        if fill == 0:
+            last_rb = r
+        room = chunk - fill
+        w += n
+        if n < room:
+            fill += n
+        else:
+            fill = (n - room) % chunk
+            last_rb = r     # chunks started inside the group have base r
+    if fill:
+        w += chunk - fill
+    return int(w)
+
+
 def plan_rel_span(
     gather_idx: np.ndarray,
     key: np.ndarray,
@@ -213,6 +255,7 @@ def plan_rel_span(
     """
     s = bucket_rows or _def_bucket_rows()
     kspan = min(kspan or _def_kspan(), num_slots)
+    chunk = chunk or _def_chunk()   # env override; 0 = adaptive below
     assert chunk % 128 == 0 and chunk <= 1024, (
         f"span chunk must be a multiple of 128 and <= 1024 (tile-packed "
         f"code/norm, one [8, 128] tile per chunk), got {chunk}")
@@ -264,39 +307,21 @@ def plan_rel_span(
     b_end = np.searchsorted(bucket, np.arange(num_buckets), side="right")
 
     if not chunk and len(rel) == 0:
-        chunk = _def_chunk()
+        chunk = 1024
     if not chunk:
-        # Adaptive chunk: every maximal kspan-relation band rounds up to a
-        # whole chunk, so sparse (bucket, band) runs — many relation slots,
-        # few edges each — can blow padding up (measured: AM shape, 267
-        # slots, pads 12M -> 54M at chunk=1024). Estimate the band-length
-        # distribution once (vectorized: a band closes where the relation
-        # jumps past band_start + kspan within a bucket) and pick the
-        # candidate chunk minimizing padded size, preferring larger chunks
-        # within 10% (fewer grid steps).
-        new_bucket = np.r_[True, np.diff(bucket) != 0]
-        band_of = np.empty(len(rel), np.int64)
-        n_bands = 0
-        lens: list[int] = []
-        # per-bucket scan over relation-GROUP boundaries only (cheap):
-        grp = np.flatnonzero(np.r_[True, (np.diff(rel) != 0)] | new_bucket)
-        grp_end = np.r_[grp[1:], len(rel)]
-        band_start_rel = -(10 ** 9)
-        cur = 0
-        for g0, g1 in zip(grp, grp_end):
-            if new_bucket[g0] or rel[g0] - band_start_rel >= kspan:
-                if cur:
-                    lens.append(cur)
-                cur = 0
-                band_start_rel = int(rel[g0])
-            cur += g1 - g0
-        if cur:
-            lens.append(cur)
-        bl = np.asarray(lens, np.int64)
-        cands = [c for c in (1024, 512, 256) if c >= 256]
-        padded = {c: int((-(-bl // c) * c).sum()) for c in cands}
+        # Adaptive chunk by EXACT padded size per candidate: chunks pad at
+        # band/bucket closures, so sparse (bucket, band) runs — many
+        # relation slots, few edges each — can blow padding up (measured:
+        # AM shape, 267 slots, pads 12M -> 54M at chunk=1024). A dry run
+        # of the packer walk per candidate gives exact sizes (the earlier
+        # band-length estimate could not see the window base sliding at
+        # chunk refills and overstated small-chunk padding — it mispicked
+        # 1024 over 512 at the bench shape, a 2.5 ms/step difference).
+        # Prefer larger chunks within 10% (fewer grid steps).
+        padded = {c: _padded_exact(bucket, rel, c, kspan)
+                  for c in (1024, 512, 256)}
         best = min(padded.values())
-        chunk = max(c for c in cands if padded[c] <= 1.1 * best)
+        chunk = max(c for c, p in padded.items() if p <= 1.1 * best)
 
     out_g, out_c, out_n = [], [], []
     offsets = [0]

@@ -39,6 +39,7 @@ _VERSION = 5  # v5: bwd span bucket default 256 (defaults are plan semantics)
 _KNOB_ENVS = (
     "RGCN_SPAN_K", "RGCN_SPAN_BUCKET_ROWS", "RGCN_SPAN_FWD_S",
     "RGCN_SPAN_BWD_S", "RGCN_SPAN_BWD_K", "RGCN_SPAN_CHUNK",
+    "RGCN_SPAN_FWD_CHUNK", "RGCN_SPAN_BWD_CHUNK",
     "RGCN_SEG_BUCKET_ROWS", "RGCN_SEG_CHUNK",
 )
 
