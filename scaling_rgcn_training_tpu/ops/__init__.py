@@ -21,7 +21,8 @@ from scaling_rgcn_training_tpu.ops.rgcn_conv import (
     init_rgcn_layer,
     materialize_weight,
 )
-from scaling_rgcn_training_tpu.ops.sddmm import sddmm, sddmm_rel, segment_softmax
+from scaling_rgcn_training_tpu.ops.sddmm import (
+    attention_aggregate, sddmm, sddmm_rel, segment_softmax)
 
 __all__ = [
     "grouped_matmul",
@@ -31,6 +32,7 @@ __all__ = [
     "rgcn_conv",
     "init_rgcn_layer",
     "materialize_weight",
+    "attention_aggregate",
     "sddmm",
     "sddmm_rel",
     "segment_softmax",

@@ -497,12 +497,19 @@ def rgcn_conv(
     backend: str | None = None,
     mode: str = "auto",
     compute_dtype=None,
+    aggr: str = "mean",
 ) -> jnp.ndarray:
     """Apply one R-GCN layer: ``[N, in] -> [N, out]``.
 
     Jit-safe: everything static-shaped. Padding rows are killed by
     ``norm == 0``, so the extra rows in the final (empty) relation slot
     never contribute.
+
+    ``aggr``: ``"mean"`` (PyG ``RGCNConv`` parity, the default) or
+    ``"attention"`` — data-dependent attention over each node's incoming
+    edges via the SDDMM -> segment-softmax -> weighted-scatter pipeline
+    (ops/sddmm.py ``attention_aggregate``; a capability the reference's
+    PyG op does not offer, SURVEY.md §7.5's other op-library half).
 
     ``compute_dtype`` (e.g. ``jnp.bfloat16``): mixed precision — the wide
     per-edge streams (source-feature gathers, grouped matmuls, permutation
@@ -532,6 +539,19 @@ def rgcn_conv(
                               compute_dtype=compute_dtype)
 
     w = materialize_weight(params)
+    if aggr == "attention":
+        from scaling_rgcn_training_tpu.ops.sddmm import attention_aggregate
+
+        if compute_dtype is not None:
+            cd = jnp.dtype(compute_dtype)
+            agg = attention_aggregate(x.astype(cd), w.astype(cd),
+                                      params.root.astype(cd), edges,
+                                      backend=backend)
+        else:
+            agg = attention_aggregate(x, w, params.root, edges,
+                                      backend=backend)
+        return agg + x @ params.root + params.bias
+    assert aggr == "mean", f"unknown aggr {aggr!r}"
     if mode == "auto":
         from scaling_rgcn_training_tpu.ops.span_kernels import fused_ok
 

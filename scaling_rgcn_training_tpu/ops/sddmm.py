@@ -18,8 +18,11 @@ through the same grouped matmul (MXU) as the conv, reusing the
 relation-sorted layout of :class:`~.rgcn_conv.RelEdges`.
 
 ``segment_softmax`` turns scores into per-destination attention weights
-(the scatter-side companion: max/sum segment reductions over dst), giving
-everything needed for one attention-weighted aggregation pass.
+(the scatter-side companion: max/sum segment reductions over dst), and
+:func:`attention_aggregate` composes the full pipeline — the framework
+consumer, exposed as ``rgcn_conv(..., aggr="attention")``
+(ops/rgcn_conv.py) with dense-oracle golden + gradient tests
+(tests/test_sddmm.py).
 """
 
 from __future__ import annotations
@@ -52,6 +55,42 @@ def sddmm_rel(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
     z = grouped_matmul(xs, w, edges.group_sizes, backend=backend)
     yd = jnp.take(y, edges.dst, axis=0)
     return jnp.sum(z.astype(jnp.float32) * yd.astype(jnp.float32), axis=-1)
+
+
+def attention_aggregate(x: jnp.ndarray, w: jnp.ndarray, root: jnp.ndarray,
+                        edges: RelEdges,
+                        backend: Optional[str] = None) -> jnp.ndarray:
+    """Relational-attention aggregation: the SDDMM -> segment-softmax ->
+    weighted-scatter pipeline as one op (the framework consumer of this
+    module; exposed as ``rgcn_conv(..., aggr="attention")``).
+
+    Replaces the conv's fixed mean coefficients with data-dependent
+    attention over each node's incoming edges (a relational-transformer
+    aggregation; parameter-free beyond the layer's own weights):
+
+        m_e     = x[src_e] @ W[rel_e]                 (per-edge message)
+        s_e     = <m_e, x[dst_e] @ root> / sqrt(d_out)  (SDDMM score)
+        alpha_e = softmax over {e : dst_e = i} of s_e  (segment softmax)
+        out_i   = sum_e alpha_e * m_e                  (weighted scatter)
+
+    Padding rows (``edges.norm == 0``) are masked out of the softmax and
+    contribute zero. Coefficients are data-dependent, so this runs the
+    gather/grouped-matmul dataflow (the fused span kernels bake their
+    edge coefficients into the static host-built plan); returns f32.
+    """
+    n = edges.num_nodes
+    d_out = w.shape[2]
+    msg = jnp.take(x, edges.src, axis=0)
+    msg = grouped_matmul(msg, w, edges.group_sizes, backend=backend,
+                         static_offsets=edges.group_offsets)      # [E, d_out]
+    keys = jnp.dot(x, root, preferred_element_type=jnp.float32
+                   ).astype(x.dtype)                              # [N, d_out]
+    kd = jnp.take(keys, edges.dst, axis=0)
+    scores = jnp.sum(msg.astype(jnp.float32) * kd.astype(jnp.float32),
+                     axis=-1) * jax.lax.rsqrt(jnp.float32(d_out))
+    alpha = segment_softmax(scores, edges.dst, n, mask=edges.norm)
+    return jax.ops.segment_sum(msg.astype(jnp.float32) * alpha[:, None],
+                               edges.dst, num_segments=n)
 
 
 def segment_softmax(scores: jnp.ndarray, segment_ids: jnp.ndarray,
