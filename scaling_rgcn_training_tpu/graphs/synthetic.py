@@ -98,6 +98,7 @@ def ensure_synthetic_dataset(
     avg_degree: float = 4.0,
     seed: int = 0,
     with_attr_summaries: bool = True,
+    labeled_fraction: float = 0.1,
 ) -> str:
     """Create ``{root}/{name}/{name}_complete.nt`` (+ attr summaries) if absent.
 
@@ -109,7 +110,8 @@ def ensure_synthetic_dataset(
     if not os.path.exists(org):
         generate_synthetic_nt(
             org, num_entities=num_entities, num_relations=num_relations,
-            num_classes=num_classes, avg_degree=avg_degree, seed=seed)
+            num_classes=num_classes, avg_degree=avg_degree, seed=seed,
+            labeled_fraction=labeled_fraction)
     if with_attr_summaries:
         sum_dir = os.path.join(ds_dir, "attr", "sum")
         map_dir = os.path.join(ds_dir, "attr", "map")
