@@ -45,6 +45,7 @@ debugging.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -58,6 +59,46 @@ from scaling_rgcn_training_tpu.ops.span_kernels import (
     pack_edge_cols, unpack_edge_cols, _rebuild_cols)
 
 _CHUNK = 128          # edges per grid step (one [8, 128] code tile)
+
+
+def fused_plan_viable(l_src, l_dst, h_loc, h_dst, n_per: int, halo: int,
+                      num_shards: int, tile_rows: int = 512) -> bool:
+    """Cheap vectorized gate for :func:`plan_fused_halo` (halo.py calls it
+    on shard 0 before building fplans for a graph).
+
+    The plan groups edges by (arrival rank, read block, dst bucket) and
+    pads every group to whole ``_CHUNK`` rows; with little block locality
+    (a large uniform-random partition has ~a few edges per group) the
+    padded stream inflates by orders of magnitude — unusable on device
+    and pathologically slow to even build. Estimate the padded size from
+    group counts (a lower bound: relation-band splits only add more) and
+    refuse beyond ``RGCN_HALO_FPLAN_MAX_BLOWUP`` (default 3x).
+    ``RGCN_HALO_FPLAN=0|1`` force-disables/enables regardless.
+    """
+    force = _os.environ.get("RGCN_HALO_FPLAN")
+    if force is not None:
+        return force != "0"
+    t = tile_rows
+    n_x_pad = -(-n_per // t) * t
+    h_pad = -(-max(halo, 1) // t) * t
+    l_rows = np.asarray(l_src, np.int64)
+    h_loc = np.asarray(h_loc, np.int64)
+    peer = h_loc // halo if halo else h_loc * 0
+    h_rows = n_x_pad + peer * h_pad + (h_loc % halo if halo else 0)
+    rows = np.concatenate([l_rows, h_rows])
+    dst = np.concatenate([np.asarray(l_dst, np.int64),
+                          np.asarray(h_dst, np.int64)])
+    e = len(rows)
+    if e == 0:
+        return True
+    nbkt = (n_x_pad + num_shards * h_pad) // t
+    key = (rows // t) * nbkt + dst // t    # rank is a function of rows//t
+    _, counts = np.unique(key, return_counts=True)
+    padded = int((-(-counts // _CHUNK) * _CHUNK).sum())
+    blowup = float(_os.environ.get("RGCN_HALO_FPLAN_MAX_BLOWUP", 3.0))
+    # small graphs always pass (padding to _CHUNK rows dominates any tiny
+    # edge list but costs nothing absolute); the ratio gates big graphs
+    return padded <= max(blowup * e, 1 << 20)
 _SHIFT_SRC = 18       # code = src_local << 18 | dst_local << 9 | rel
 _SHIFT_DST = 9
 _MASK9 = (1 << 9) - 1

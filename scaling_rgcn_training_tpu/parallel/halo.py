@@ -243,8 +243,21 @@ def _halo_partition_edges_host(
         hb_plans.append(plan_rel_span(h_dst, loc, typ_s[rem], norm_s[rem],
                                       s_n * h, num_slots, chunk=ch(hb_plans)))
         # one-kernel exchange+aggregate plan (parallel/fused_halo.py):
-        # local + halo edges in ring-arrival order, gather-free blocks
-        if num_slots <= 512:
+        # local + halo edges in ring-arrival order, gather-free blocks.
+        # Gate (decided on shard 0, applied to all): the plan's
+        # (rank, read-block, dst-bucket) chunk grouping pads each group to
+        # whole chunks, so a partition with little block locality (e.g. a
+        # large uniform-random graph: ~few edges per group) would inflate
+        # the edge stream by orders of magnitude — and its per-edge Python
+        # planner would crawl building it. Skip fplan there; the
+        # all_to_all + span-kernel halo path stays the production route.
+        if num_slots <= 512 and s == 0:
+            from scaling_rgcn_training_tpu.parallel.fused_halo import (
+                fused_plan_viable)
+
+            build_fplan = fused_plan_viable(
+                l_src, l_dst, loc, h_dst, n_per, h, s_n)
+        if num_slots <= 512 and build_fplan:
             fused_plans.append(plan_fused_halo(
                 s, l_src, l_dst, typ_s[own], norm_s[own],
                 loc, h_dst, typ_s[rem], norm_s[rem],

@@ -41,6 +41,7 @@ _KNOB_ENVS = (
     "RGCN_SPAN_BWD_S", "RGCN_SPAN_BWD_K", "RGCN_SPAN_CHUNK",
     "RGCN_SPAN_FWD_CHUNK", "RGCN_SPAN_BWD_CHUNK",
     "RGCN_SEG_BUCKET_ROWS", "RGCN_SEG_CHUNK",
+    "RGCN_HALO_FPLAN", "RGCN_HALO_FPLAN_MAX_BLOWUP",
 )
 
 

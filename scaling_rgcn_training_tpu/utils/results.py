@@ -119,32 +119,55 @@ class Results:
         for exp in self.run_results:
             metrics.update(self.run_results[exp].keys())
 
+        # reference parity (results.py:88-116): ONE PDF per (exp, metric),
+        # named {ds}_{exp}_{metric}_{sum}_i={i}.pdf, each carrying that
+        # experiment's curve over the baseline band, with the reference's
+        # fixed ticks (x step 5; y [0, 1.1) step 0.1, expanded for >1
+        # bands e.g. loss). Band source: the frozen baselines file when
+        # present, else this run's own baseline series.
         for metric in sorted(metrics):
-            plt.figure()
+            band = None
+            if b_results and metric in b_results:
+                band = [b_results[metric][k][:epochs] for k in range(3)]
+            elif metric in self.run_results.get("baseline", {}):
+                band = self.run_results["baseline"][metric]
             for exp, series in self.run_results.items():
                 if metric not in series:
                     continue
-                y, y1, y2 = series[metric]
-                x = epoch_list[:len(y)]
-                c = colors.get(exp, "#888888")
-                plt.fill_between(x, y1[:len(x)], y2[:len(x)], color=c, alpha=0.2)
-                plt.plot(x, y[:len(x)], color=c, label=f"{exp} {metric}")
-            if b_results and metric in b_results:
-                yb = b_results[metric][0][:epochs]
-                xb = epoch_list[:len(yb)]
-                plt.fill_between(xb, b_results[metric][1][:len(xb)],
-                                 b_results[metric][2][:len(xb)], color="#FAC205", alpha=0.45)
-                plt.plot(xb, yb, color="#FAC205", label=f"baseline {metric}")
-            plt.title(f'{metric} on {configs["dataset"]} during training ({configs["sum"]})')
-            plt.xlabel("Epochs")
-            plt.ylabel(metric)
-            plt.grid(color="b", linestyle="-", linewidth=0.1)
-            plt.legend(loc="best")
-            safe_metric = metric.replace(" ", "_")
-            plt.savefig(
-                f'{path}/{configs["dataset"]}_{safe_metric}_{configs["sum"]}_i={configs["i"]}.pdf',
-                format="pdf")
-            plt.close()
+                plt.figure()
+                if exp != "baseline":
+                    y, y1, y2 = series[metric]
+                    x = epoch_list[:len(y)]
+                    c = colors.get(exp, "#888888")
+                    plt.fill_between(x, y1[:len(x)], y2[:len(x)], color=c,
+                                     alpha=0.2)
+                    plt.plot(x, y[:len(x)], color=c, label=f"{exp} {metric}")
+                ylim, step = 1.1, 0.1
+                if band is not None:
+                    yb = band[0]
+                    xb = epoch_list[:len(yb)]
+                    plt.fill_between(xb, band[1][:len(xb)], band[2][:len(xb)],
+                                     color="#FAC205", alpha=0.45)
+                    plt.plot(xb, yb, color="#FAC205",
+                             label=f"baseline {metric}")
+                    if max(band[2]) > 1:
+                        ylim, step = round(max(band[2]) + 1.0), 0.5
+                plt.title(f'{exp} {metric} on {configs["dataset"]} dataset '
+                          f'during training epochs ({configs["sum"]})')
+                plt.xlabel("Epochs")
+                plt.ylabel(metric)
+                plt.grid(color="b", linestyle="-", linewidth=0.1)
+                plt.margins(x=0)
+                plt.legend(loc="best")
+                plt.xticks(np.arange(0, len(epoch_list), 5))
+                plt.xlim(xmin=0)
+                plt.yticks(np.arange(0, ylim, step))
+                plt.ylim(ymin=0)
+                plt.savefig(
+                    f'{path}/{configs["dataset"]}_{exp}_{metric}_'
+                    f'{configs["sum"]}_i={configs["i"]}.pdf',
+                    format="pdf")
+                plt.close()
 
     # -- driver (results.py:123-132) ---------------------------------------
 

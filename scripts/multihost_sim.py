@@ -64,6 +64,14 @@ def train_losses():
     typ = rng.integers(0, 2 * R, E).astype(np.int32)
     slots = 2 * R + 1
 
+    # r5 defaults: locality reorder before partitioning (deterministic,
+    # identical in the single- and multi-process arm)
+    if os.environ.get("MH_REORDER", "1") != "0":
+        from scaling_rgcn_training_tpu.parallel import locality_reorder
+
+        perm = locality_reorder(src, dst, N, num_shards=NPROC * DEV_PER_PROC)
+        src, dst = perm[src], perm[dst]
+
     mesh = make_mesh(NPROC * DEV_PER_PROC)
     hedges = device_put_halo_edges(
         halo_partition_edges(src, dst, typ, N, slots, NPROC * DEV_PER_PROC,
@@ -83,10 +91,25 @@ def train_losses():
     params = (emb, l1, l2)
     state = opt.init(params)
 
+    # r5 defaults: bf16 halo/edge streams + the fused span kernels (on the
+    # CPU backend that means Pallas TPU interpret mode + the RGCN_HALO_FUSED
+    # gate, same as dryrun_multichip / tests)
+    cd = jnp.bfloat16 if os.environ.get("MH_BF16", "1") != "0" else None
+    use_fused = os.environ.get("MH_FUSED", "1") != "0"
+    import contextlib
+
+    interp = contextlib.nullcontext()
+    if use_fused:
+        os.environ["RGCN_HALO_FUSED"] = "1"
+        if jax.default_backend() != "tpu":
+            from jax.experimental.pallas import tpu as pltpu
+
+            interp = pltpu.force_tpu_interpret_mode()
+
     def loss_of(p, hd, yv, iv):
         e_, a_, b_ = p
-        z = jax.nn.relu(halo_rgcn_conv(e_, hd, a_, mesh))
-        logits = halo_rgcn_conv(z, hd, b_, mesh)
+        z = jax.nn.relu(halo_rgcn_conv(e_, hd, a_, mesh, compute_dtype=cd))
+        logits = halo_rgcn_conv(z, hd, b_, mesh, compute_dtype=cd)
         return bce_loss(logits[iv], yv)
 
     # multi-controller rule: global arrays must be jit ARGUMENTS (closing
@@ -98,9 +121,10 @@ def train_losses():
         return optax.apply_updates(p, updates), st2, loss
 
     losses = []
-    for _ in range(STEPS):
-        params, state, loss = step(params, state, hedges, y, idx)
-        losses.append(float(loss))
+    with interp:
+        for _ in range(STEPS):
+            params, state, loss = step(params, state, hedges, y, idx)
+            losses.append(float(loss))
     return losses
 
 
@@ -158,6 +182,13 @@ def run_parent() -> None:
         "global_devices": NPROC * DEV_PER_PROC, "steps": STEPS,
         "single_process_losses": ref, "multi_process_losses": multi,
         "loss_parity": ok, "hardware": "cpu (DCN simulated over localhost)",
+        "features": {
+            "fused_span_kernels": os.environ.get("MH_FUSED", "1") != "0",
+            "compute_dtype": ("bfloat16"
+                              if os.environ.get("MH_BF16", "1") != "0"
+                              else "float32"),
+            "locality_reorder": os.environ.get("MH_REORDER", "1") != "0",
+        },
     }))
     if not ok:
         sys.exit(1)

@@ -87,3 +87,21 @@ def test_cli_end_to_end(ref_graphs_dir, tmp_path, monkeypatch):
     files = os.listdir(tmp_path / "results" / out_dirs[0])
     assert any(f.startswith("report_") for f in files)
     assert any(f.startswith("run_results_") for f in files)
+
+
+def test_plot_filenames_reference_parity(tmp_path):
+    """One PDF per (exp, metric), named {ds}_{exp}_{metric}_{sum}_i={i}.pdf
+    (reference helpers/results.py:115)."""
+    pytest.importorskip("matplotlib")
+    r = Results()
+    for exp in ("baseline", "summation"):
+        r.add_key(exp)
+        r.update_run_results({"accuracy": [0.1, 0.2, 0.3],
+                              "loss": [1.0, 0.5, 0.2]}, exp)
+    cfg = {"dataset": "TEST", "exp": "summation", "sum": "attr", "i": 1,
+           "epochs": 3}
+    out = r.process_results(cfg, results_root=str(tmp_path), plots=True)
+    for exp in ("baseline", "summation"):
+        for metric in ("accuracy", "loss"):
+            f = os.path.join(out, f"TEST_{exp}_{metric}_attr_i=1.pdf")
+            assert os.path.exists(f), sorted(os.listdir(out))
