@@ -128,13 +128,42 @@ def locality_reorder(edge_src: np.ndarray, edge_dst: np.ndarray,
             break
         labels = new
     if num_shards is not None and num_shards > 1:
-        return _pack_communities(labels, src, dst, num_nodes, num_shards)
+        perm = _pack_communities(labels, src, dst, num_nodes, num_shards)
+        # guard: on a locality-free graph the clustering finds phantom
+        # structure and community packing can INFLATE the halo max
+        # (measured at AM shape: 122k -> 165k rows/peer on a uniform
+        # graph). Keep the relabeling only if it shrinks the metric that
+        # matters — the max per-(reader, owner) unique boundary rows,
+        # which is exactly the halo buffer H the partition allocates.
+        if _max_peer_halo(src, dst, num_nodes, num_shards, perm) \
+                < _max_peer_halo(src, dst, num_nodes, num_shards, None):
+            return perm
+        return np.arange(num_nodes, dtype=np.int32)
     # new id = rank under (label, old id): communities contiguous,
     # deterministic within a community
     order = np.lexsort((np.arange(num_nodes), labels))
     perm = np.empty(num_nodes, np.int64)
     perm[order] = np.arange(num_nodes)
     return perm.astype(np.int32)
+
+
+def _max_peer_halo(src: np.ndarray, dst: np.ndarray, num_nodes: int,
+                   num_shards: int, perm: np.ndarray | None) -> int:
+    """Max over (reader, owner) shard pairs of unique remote source rows —
+    the halo buffer size H the contiguous-range partition allocates."""
+    if perm is not None:
+        src, dst = perm[src], perm[dst]
+    n_per = -(-num_nodes // num_shards)
+    so = src // n_per
+    do = dst // n_per
+    cross = so != do
+    if not cross.any():
+        return 0
+    pair = (do[cross] * num_shards + so[cross]) * num_nodes + src[cross]
+    pairs = np.unique(pair)
+    counts = np.bincount(pairs // num_nodes,
+                         minlength=num_shards * num_shards)
+    return int(counts.max())
 
 
 def edge_cut_fraction(edge_src: np.ndarray, edge_dst: np.ndarray,

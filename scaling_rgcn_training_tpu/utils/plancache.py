@@ -32,7 +32,8 @@ from typing import Callable, Iterable
 import numpy as np
 
 # bump when any plan NamedTuple layout / packing convention changes
-_VERSION = 5  # v5: bwd span bucket default 256 (defaults are plan semantics)
+_VERSION = 6  # v6: exact-size chunk chooser + fplan viability gate
+#               (both change what a default build produces)
 
 # env knobs that change plan contents (ops/span_kernels.py,
 # ops/segment_kernels.py, ops/rgcn_conv.py read these at build time)
