@@ -149,3 +149,65 @@ def test_rel_span_backward_scatter(n, e, slots, d_in, d_out, k, dtype, rtol, ato
                                atol=atol * np.abs(dx_ref).max())
     np.testing.assert_allclose(np.asarray(dw), dw_ref, rtol=rtol,
                                atol=atol * np.abs(dw_ref).max())
+
+
+def test_padded_exact_matches_packer():
+    """The adaptive chooser's dry-run simulator must equal the real
+    packer's padded size for every candidate chunk (it IS the chooser)."""
+    from scaling_rgcn_training_tpu.ops.span_kernels import (
+        _padded_exact, plan_rel_span)
+
+    rng = np.random.default_rng(3)
+    n, e, slots, s = 3000, 40_000, 19, 256
+    key = rng.integers(0, n, e).astype(np.int64)
+    rel = rng.integers(0, slots - 1, e).astype(np.int32)
+    gi = rng.integers(0, n, e).astype(np.int32)
+    norm = np.ones(e, np.float32)
+    comp = (((key // s) * slots + rel).astype(np.int64) << 31) | key
+    order = np.argsort(comp, kind="stable")
+    bucket = (key[order] // s).astype(np.int64)
+    for chunk in (256, 512, 1024):
+        sp = plan_rel_span(gi, key, rel, norm, n, slots, bucket_rows=s,
+                           chunk=chunk)
+        sim = _padded_exact(bucket, rel[order], chunk, sp.kspan)
+        assert sim == sp.padded_edges, (chunk, sim, sp.padded_edges)
+
+
+def test_chunk_env_overrides(monkeypatch):
+    """RGCN_SPAN_{FWD,BWD}_CHUNK force the per-direction plan chunks."""
+    from scaling_rgcn_training_tpu.ops import build_rel_edges
+
+    rng = np.random.default_rng(4)
+    n, e, r = 2000, 20_000, 6
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    typ = rng.integers(0, 2 * r, e).astype(np.int32)
+    monkeypatch.setenv("RGCN_SPAN_FWD_CHUNK", "512")
+    monkeypatch.setenv("RGCN_SPAN_BWD_CHUNK", "256")
+    edges = build_rel_edges(src, dst, typ, n, 2 * r + 1, 64)
+    assert edges.fspan.chunk == 512
+    assert edges.bspan.chunk == 256
+
+
+def test_fused_plan_viability_gate():
+    from scaling_rgcn_training_tpu.parallel.fused_halo import fused_plan_viable
+
+    rng = np.random.default_rng(5)
+    # tiny graph: always viable (absolute floor)
+    assert fused_plan_viable(
+        rng.integers(0, 64, 100), rng.integers(0, 64, 100),
+        np.zeros(0, np.int64), np.zeros(0, np.int64),
+        n_per=64, halo=16, num_shards=4)
+    # large locality-free graph: ~1 edge per (block, bucket) cell pads
+    # each _CHUNK-row group catastrophically -> not viable
+    n_per, e = 400_000, 800_000
+    assert not fused_plan_viable(
+        rng.integers(0, n_per, e), rng.integers(0, n_per, e),
+        np.zeros(0, np.int64), np.zeros(0, np.int64),
+        n_per=n_per, halo=16, num_shards=1)
+    # block-local graph (src and dst in the same 512-block): viable
+    blk = rng.integers(0, n_per // 512, e) * 512
+    assert fused_plan_viable(
+        blk + rng.integers(0, 512, e), blk + rng.integers(0, 512, e),
+        np.zeros(0, np.int64), np.zeros(0, np.int64),
+        n_per=n_per, halo=16, num_shards=1)
