@@ -91,11 +91,16 @@ def train_losses():
     params = (emb, l1, l2)
     state = opt.init(params)
 
-    # r5 defaults: bf16 halo/edge streams + the fused span kernels (on the
-    # CPU backend that means Pallas TPU interpret mode + the RGCN_HALO_FUSED
-    # gate, same as dryrun_multichip / tests)
+    # r5 defaults: bf16 halo/edge streams + (where emulatable) the fused
+    # span kernels. On the CPU backend the fused kernels need Pallas TPU
+    # interpret mode, which runs one slow interpreter thread per virtual
+    # device — on a 2-core host the 8 device threads starve XLA's
+    # collective rendezvous hard-timeout and the all_to_all aborts
+    # (measured r5; same limitation fused_halo.py documents for its
+    # 8-device tests). Default fused off on CPU; a real TPU slice runs it.
     cd = jnp.bfloat16 if os.environ.get("MH_BF16", "1") != "0" else None
-    use_fused = os.environ.get("MH_FUSED", "1") != "0"
+    default_fused = "1" if jax.default_backend() == "tpu" else "0"
+    use_fused = os.environ.get("MH_FUSED", default_fused) != "0"
     import contextlib
 
     interp = contextlib.nullcontext()
@@ -183,7 +188,9 @@ def run_parent() -> None:
         "single_process_losses": ref, "multi_process_losses": multi,
         "loss_parity": ok, "hardware": "cpu (DCN simulated over localhost)",
         "features": {
-            "fused_span_kernels": os.environ.get("MH_FUSED", "1") != "0",
+            # CPU sim: fused kernels need one interpret thread per device,
+            # unrunnable at 8 devices on this 2-core host (see train_losses)
+            "fused_span_kernels": os.environ.get("MH_FUSED", "0") != "0",
             "compute_dtype": ("bfloat16"
                               if os.environ.get("MH_BF16", "1") != "0"
                               else "float32"),
