@@ -196,6 +196,30 @@ def _rebuild_cols(code_ref, norm_ref, chunk: int):
     return code, norm
 
 
+def _nudge_fast_gather_len(span: "RelSpanEdges") -> "RelSpanEdges":
+    """Append dead chunks so ``padded_edges`` ≡ 512 (mod 1024) when the
+    chunk size allows it: the XLA gather engine is ~15% faster at such
+    index counts (see :func:`plan_take`). Dead chunks belong to no bucket
+    (offsets/rbase untouched) — the kernels' ``base < e_hi`` guard never
+    reads them; only the gather grows by ``k * chunk`` row-0 reads."""
+    chunk, padded = span.chunk, span.padded_edges
+    if padded < (1 << 16) or chunk >= 1024:
+        return span
+    extra = (512 - padded % 1024) % 1024
+    if extra == 0 or extra % chunk:
+        return span
+    k = extra // chunk
+    pad_code = np.int32(span.num_segments << span.shift)
+    g = np.concatenate([np.asarray(span.gather_idx),
+                        np.zeros(extra, np.int32)])
+    c = np.concatenate([np.asarray(span.code),
+                        np.full((k * 8, 128), pad_code, np.int32)])
+    nr = np.concatenate([np.asarray(span.norm),
+                         np.zeros((k * 8, 128), np.float32)])
+    return span._replace(gather_idx=g, code=c, norm=nr,
+                         padded_edges=padded + extra)
+
+
 def _padded_exact(bucket: np.ndarray, rel: np.ndarray, chunk: int,
                   kspan: int) -> int:
     """Exact padded edge count for one candidate chunk: a dry run of the
@@ -291,7 +315,7 @@ def plan_rel_span(
         if packed is not None:
             # host (numpy) leaves throughout the plan builders: the public
             # builders convert once at the end (utils/plancache.to_device)
-            return RelSpanEdges(
+            return _nudge_fast_gather_len(RelSpanEdges(
                 gather_idx=packed["gather"],
                 code=pack_edge_cols(packed["code"], int(packed["chunk"])),
                 norm=pack_edge_cols(packed["norm"], int(packed["chunk"])),
@@ -300,7 +324,7 @@ def plan_rel_span(
                 num_segments=int(num_segments), num_slots=int(num_slots),
                 bucket_rows=int(s), chunk=int(packed["chunk"]),
                 max_chunks=int(packed["max_chunks"]), kspan=int(kspan),
-                shift=int(shift), padded_edges=int(packed["padded"]))
+                shift=int(shift), padded_edges=int(packed["padded"])))
 
     bucket = (key // s).astype(np.int64)
     b_start = np.searchsorted(bucket, np.arange(num_buckets), side="left")
@@ -385,7 +409,7 @@ def plan_rel_span(
 
     e_pad = offsets[-1]
 
-    return RelSpanEdges(
+    return _nudge_fast_gather_len(RelSpanEdges(
         gather_idx=np.concatenate(out_g),
         code=pack_edge_cols(np.concatenate(out_c), chunk),
         norm=pack_edge_cols(np.concatenate(out_n), chunk),
@@ -393,7 +417,7 @@ def plan_rel_span(
         rbase=rbase.reshape(-1),
         num_segments=int(num_segments), num_slots=int(num_slots),
         bucket_rows=int(s), chunk=int(chunk), max_chunks=int(max_chunks),
-        kspan=int(kspan), shift=int(shift), padded_edges=int(e_pad))
+        kspan=int(kspan), shift=int(shift), padded_edges=int(e_pad)))
 
 
 # -- forward: msg_e = vals_e @ W[rel_e]; out[key_e] += msg_e ------------------
@@ -668,7 +692,20 @@ def plan_take(x, idx):
     """Row gather by a plan-built index: indices are host-verified
     in-bounds, so skip XLA's clamp (which otherwise materializes an
     [E, d]-sized select fusion after the gather — ~3.3 ms per gather at
-    the bench shape, visible in the r4 profiler trace)."""
+    the bench shape, visible in the r4 profiler trace).
+
+    Length quirk (measured on v5e, r5): the XLA gather engine runs ~15%
+    FASTER when the index count is ≡ 512 (mod 1024) than at multiples of
+    1024 (535 vs 440-460 M rows/s at 4.2M rows — value-independent; a
+    pure length effect, presumably the engine's index-stream tiling).
+    Only a NATURAL fast length keeps the fast mode: padding the index
+    stream and slicing the result back off, or splitting into two
+    fast-length gathers and concatenating, both materialize an extra
+    [E, d] copy and lose more than they gain (bench: 70.4 -> 73.9 ms;
+    micro: 9.2 -> 28.4 / 11.3 ms). The exploit therefore lives in the
+    PLAN: :func:`plan_rel_span` appends a dead chunk when that lands
+    ``padded_edges`` on ≡ 512 (mod 1024) — see ``_nudge_fast_gather_len``.
+    """
     return x.at[idx].get(mode="promise_in_bounds")
 
 

@@ -211,3 +211,35 @@ def test_fused_plan_viability_gate():
         blk + rng.integers(0, 512, e), blk + rng.integers(0, 512, e),
         np.zeros(0, np.int64), np.zeros(0, np.int64),
         n_per=n_per, halo=16, num_shards=1)
+
+
+def test_fast_gather_len_nudge_invariants_and_values():
+    """Plans above 64k padded rows with chunk < 1024 land on the gather
+    engine's fast length (padded ≡ 512 mod 1024, PERF.md r5) via dead
+    trailing chunks — and the kernel output is unchanged by them."""
+    from scaling_rgcn_training_tpu.ops.span_kernels import (
+        _nudge_fast_gather_len, rel_span_matmul_scatter)
+
+    rng = np.random.default_rng(77)
+    n, e, slots = 1500, 70_000, 7
+    src, dst, rel, norm = _random_graph(rng, n, e, slots)
+    span = plan_rel_span(src, dst, rel, norm, n, slots,
+                         bucket_rows=128, chunk=512, kspan=3)
+    assert span.padded_edges >= (1 << 16)
+    assert span.padded_edges % 1024 == 512          # nudged (or lucky)
+    assert len(np.asarray(span.gather_idx)) == span.padded_edges
+    assert np.asarray(span.code).shape[0] == span.padded_edges // 512 * 8
+    # re-nudging is a no-op
+    again = _nudge_fast_gather_len(span)
+    assert again.padded_edges == span.padded_edges
+
+    d_in, d_out = 8, 8
+    x = rng.standard_normal((n, d_in)).astype(np.float32)
+    w = (rng.standard_normal((slots, d_in, d_out)) * 0.2).astype(np.float32)
+    vals = x[np.asarray(span.gather_idx)].astype(np.float32)
+    out = rel_span_matmul_scatter(jnp.asarray(vals), span, jnp.asarray(w))
+    msg = np.einsum("ed,edo->eo", x[src] * norm[:, None], w[rel])
+    ref = np.zeros((n, d_out), np.float32)
+    np.add.at(ref, dst, msg)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4,
+                               atol=2e-4 * np.abs(ref).max())
