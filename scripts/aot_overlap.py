@@ -14,7 +14,7 @@ and inspects the *scheduled* TPU HLO:
   collective (parallel/halo.py:13-21) — in the shipped arm vs the
   RGCN_HALO_BLOCK_OVERLAP=1 barrier arm?
 
-Writes OVERLAP_r04.json at the repo root.
+Writes OVERLAP_r05.json at the repo root.
 
 Run: python scripts/aot_overlap.py   (env: OV_* as measure_overlap.py)
 """
@@ -143,7 +143,7 @@ doc = {
     "arms": res,
 }
 out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "OVERLAP_r04.json")
+                   "OVERLAP_r05.json")
 with open(out, "w") as f:
     json.dump(doc, f, indent=2)
 print("wrote", out, flush=True)
