@@ -92,6 +92,7 @@ def run_experiments(configs: Dict[str, Any], org_path: str, sum_path: str,
             backend=configs.get("backend"),
             num_bases=configs.get("num_bases"), num_blocks=configs.get("num_blocks"),
             compute_dtype=configs.get("compute_dtype"),
+            aggr=configs.get("aggr") or "mean",
             devices=configs.get("devices"),
             partition=configs.get("partition") or "halo",
             reorder=bool(configs.get("reorder")),
@@ -190,6 +191,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="halo partition: relabel nodes by clustering "
                              "(label propagation) first - shrinks the ICI "
                              "halo exchange on community-structured graphs")
+    parser.add_argument("-aggr", type=str, default="mean",
+                        choices=["mean", "attention"],
+                        help="conv aggregation: mean (reference parity) or "
+                             "attention (SDDMM + segment-softmax weights "
+                             "over each node's incoming edges)")
     parser.add_argument("-num_bases", type=int, default=None)
     parser.add_argument("-num_blocks", type=int, default=None)
     parser.add_argument("-synth_entities", type=int, default=2000)

@@ -109,42 +109,51 @@ def init_att_model(key, num_slots, hidden, num_classes, num_nodes, emb_dim,
         rgcn1=rgcn1, rgcn2=rgcn2)
 
 
-def _trunk(x, edges, rgcn1, rgcn2, backend=None, compute_dtype=None):
-    x = rgcn_conv(x, edges, rgcn1, backend=backend, compute_dtype=compute_dtype)
+def _trunk(x, edges, rgcn1, rgcn2, backend=None, compute_dtype=None,
+           aggr="mean"):
+    x = rgcn_conv(x, edges, rgcn1, backend=backend, compute_dtype=compute_dtype,
+                  aggr=aggr)
     x = jax.nn.relu(x)
-    return rgcn_conv(x, edges, rgcn2, backend=backend, compute_dtype=compute_dtype)
+    return rgcn_conv(x, edges, rgcn2, backend=backend, compute_dtype=compute_dtype,
+                     aggr=aggr)
 
 
 def apply_emb_model(params: EmbModelParams, edges: RelEdges, *,
                     train: bool = False, rng: Optional[jax.Array] = None,
-                    backend: Optional[str] = None, compute_dtype=None) -> jnp.ndarray:
+                    backend: Optional[str] = None, compute_dtype=None,
+                    aggr: str = "mean") -> jnp.ndarray:
     return _trunk(params.embedding, edges, params.rgcn1, params.rgcn2,
-                  backend, compute_dtype)
+                  backend, compute_dtype, aggr)
 
 
 def apply_mlp_model(params: MLPModelParams, edges: RelEdges, *,
                     train: bool = False, rng: Optional[jax.Array] = None,
-                    backend: Optional[str] = None, compute_dtype=None) -> jnp.ndarray:
+                    backend: Optional[str] = None, compute_dtype=None,
+                    aggr: str = "mean") -> jnp.ndarray:
     x = jnp.tanh(params.embedding @ params.lin1_w.T + params.lin1_b)
     x = x @ params.lin2_w.T + params.lin2_b
-    return _trunk(x, edges, params.rgcn1, params.rgcn2, backend, compute_dtype)
+    return _trunk(x, edges, params.rgcn1, params.rgcn2, backend, compute_dtype,
+                  aggr)
 
 
 def apply_att_model(params: ATTModelParams, edges: RelEdges, *,
                     train: bool = False, rng: Optional[jax.Array] = None,
-                    backend: Optional[str] = None, compute_dtype=None) -> jnp.ndarray:
+                    backend: Optional[str] = None, compute_dtype=None,
+                    aggr: str = "mean") -> jnp.ndarray:
     num_heads = params.embedding.shape[0]
     attn_out = mha_self_attention(
         params.att, params.embedding, num_heads=num_heads,
         dropout_rate=0.2 if train else 0.0, dropout_rng=rng)
     x = attn_out[0]  # first "sequence" element = fused node features
-    return _trunk(x, edges, params.rgcn1, params.rgcn2, backend, compute_dtype)
+    return _trunk(x, edges, params.rgcn1, params.rgcn2, backend, compute_dtype,
+                  aggr)
 
 
 def model_logits(params, edges, *, train=False, rng=None, backend=None,
-                 compute_dtype=None) -> jnp.ndarray:
+                 compute_dtype=None, aggr="mean") -> jnp.ndarray:
     """Dispatch on param type — single entry point used by the trainer."""
-    kw = dict(train=train, rng=rng, backend=backend, compute_dtype=compute_dtype)
+    kw = dict(train=train, rng=rng, backend=backend, compute_dtype=compute_dtype,
+              aggr=aggr)
     if isinstance(params, EmbModelParams):
         return apply_emb_model(params, edges, **kw)
     if isinstance(params, MLPModelParams):

@@ -521,6 +521,13 @@ def rgcn_conv(
     partitioned over a device mesh), the SPMD path runs instead — models
     never need to know whether they're distributed.
     """
+    if type(edges).__name__ in ("ShardedRelEdges", "HaloShardedEdges") \
+            and aggr != "mean":
+        raise ValueError(
+            "aggr='attention' is a single-device mode in this release: the "
+            "distributed aggregation paths implement the mean-normalized "
+            "conv (their edge coefficients are baked into the static halo/"
+            "span plans; attention weights are data-dependent)")
     if type(edges).__name__ == "ShardedRelEdges":
         from scaling_rgcn_training_tpu.parallel import current_mesh, sharded_rgcn_conv
 

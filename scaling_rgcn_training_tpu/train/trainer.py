@@ -43,7 +43,7 @@ def _hashable_mask(mask):
 @functools.lru_cache(maxsize=64)
 def _cached_fit_fn(apply_fn, loss_fn, activation, sum_graph, epochs,
                    lr, weight_d, mask_key, backend, compute_dtype=None,
-                   mesh=None):
+                   mesh=None, aggr="mean"):
     """One jitted whole-training scan per static configuration.
 
     The reference re-instantiates everything per iteration (main.py:49-52),
@@ -60,7 +60,7 @@ def _cached_fit_fn(apply_fn, loss_fn, activation, sum_graph, epochs,
         if not sum_graph:
             # validation eval BEFORE the update (modelTrainer.py:53-59)
             logits = apply_fn(params, graph.edges, train=False, backend=backend,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype, aggr=aggr)
             acc, f1_w, f1_m = evaluate(logits, graph.x_val, graph.y_val, activation)
         else:
             acc = f1_w = f1_m = jnp.float32(0)
@@ -69,7 +69,7 @@ def _cached_fit_fn(apply_fn, loss_fn, activation, sum_graph, epochs,
 
         def loss_of(p):
             logits = apply_fn(p, graph.edges, train=True, rng=sub, backend=backend,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype, aggr=aggr)
             return loss_fn(logits[graph.x_train], graph.y_train)
 
         loss, grads = jax.value_and_grad(loss_of)(params)
@@ -109,7 +109,8 @@ class Trainer:
                  reorder: bool = False,
                  ckpt_dir: Optional[str] = None,
                  ckpt_every: int = 0,
-                 plan_cache: Optional[str] = None) -> None:
+                 plan_cache: Optional[str] = None,
+                 aggr: str = "mean") -> None:
         self.data = data
         self.hidden_l = hidden_l
         self.epochs = epochs
@@ -117,6 +118,13 @@ class Trainer:
         self.lr = lr
         self.weight_d = weight_d
         self.backend = backend
+        # conv aggregation: "mean" (reference parity) or "attention"
+        # (SDDMM -> segment-softmax pipeline; single-device — the
+        # distributed plans bake mean coefficients in, rgcn_conv raises)
+        self.aggr = aggr
+        if aggr != "mean" and devices and devices > 1:
+            raise ValueError(
+                "aggr='attention' is a single-device mode in this release")
         self.num_bases = num_bases
         self.num_blocks = num_blocks
         # mixed precision for the conv's edge streams ("bfloat16" | None)
@@ -255,7 +263,7 @@ class Trainer:
             run = _cached_fit_fn(
                 apply_fn, loss_fn, activation, sum_graph, self.epochs,
                 self.lr, self.weight_d, _hashable_mask(mask), self.backend,
-                self.compute_dtype, self.mesh)
+                self.compute_dtype, self.mesh, self.aggr)
             with self._mesh_scope():  # ambient mesh for rgcn_conv's dispatch
                 (params, _, _), (losses, accs, f1_ws, f1_ms) = run(
                     params, opt_state, rng0, graph)
@@ -306,7 +314,7 @@ class Trainer:
             run = _cached_fit_fn(
                 apply_fn, loss_fn, activation, sum_graph, chunk,
                 self.lr, self.weight_d, _hashable_mask(mask), self.backend,
-                self.compute_dtype, self.mesh)
+                self.compute_dtype, self.mesh, self.aggr)
             with self._mesh_scope():
                 (params, opt_state, rng), chunk_series = run(
                     params, opt_state, rng, graph)
@@ -478,7 +486,7 @@ class Trainer:
         """
         with self._mesh_scope():
             logits = apply_fn(params, graph.edges, train=False, backend=self.backend,
-                              compute_dtype=self.compute_dtype)
+                              compute_dtype=self.compute_dtype, aggr=self.aggr)
         acc, f1_w, f1_m = evaluate(logits, graph.x_test, graph.y_test, activation)
         if report:
             from sklearn.metrics import classification_report

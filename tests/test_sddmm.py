@@ -188,3 +188,44 @@ def test_attention_aggregate_bf16_finite():
     assert np.isfinite(np.asarray(b16)).all()
     np.testing.assert_allclose(np.asarray(b16), np.asarray(f32),
                                rtol=0.1, atol=0.1)
+
+
+def test_trainer_attention_aggregation_end_to_end(ref_graphs_dir):
+    """-aggr attention through the full Trainer pipeline (TEST fixture):
+    trains, evaluates, and differs from the mean-aggregation logits."""
+    from scaling_rgcn_training_tpu.graphs.dataset import Dataset
+    from scaling_rgcn_training_tpu.train.trainer import Trainer
+
+    data = Dataset(f"{ref_graphs_dir}/TEST/TEST_complete.nt",
+                   f"{ref_graphs_dir}/TEST/attr/sum",
+                   f"{ref_graphs_dir}/TEST/attr/map").init_dataset(verbose=False)
+    cfg = {"dataset": "TEST", "num_sums": 1, "e_trans": False,
+           "w_trans": False}
+    kw = dict(hidden_l=4, epochs=3, emb_dim=6, lr=0.01, weight_d=5e-5,
+              seed=0, backend="gather")
+    res_att = Trainer(data, **kw, aggr="attention").train_original(
+        "summation", cfg, "baseline", verbose=False)
+    assert np.isfinite(res_att["loss"]).all()
+    assert 0.0 <= res_att["test_acc"] <= 1.0
+    # TEST's CE loss is exactly 0 (single-class quirk), so trajectories
+    # cannot differ; assert the aggregation itself differs on the same
+    # params instead
+    from scaling_rgcn_training_tpu.models import heads as model_heads
+
+    t = Trainer(data, **kw)
+    dg = t._device_graph(data.orgGraph)
+    params = res_att["params"]
+    l_att = model_heads.apply_emb_model(params, dg.edges, backend="gather",
+                                        aggr="attention")
+    l_mean = model_heads.apply_emb_model(params, dg.edges, backend="gather")
+    assert not np.allclose(np.asarray(l_att), np.asarray(l_mean))
+
+
+def test_trainer_attention_distributed_rejected():
+    import pytest as _pytest
+
+    from scaling_rgcn_training_tpu.train.trainer import Trainer
+
+    with _pytest.raises(ValueError, match="single-device"):
+        Trainer(None, hidden_l=4, epochs=1, emb_dim=6, lr=0.01,
+                weight_d=5e-5, devices=8, aggr="attention")
