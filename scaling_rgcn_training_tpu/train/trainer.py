@@ -293,12 +293,12 @@ class Trainer:
         import os
 
         from scaling_rgcn_training_tpu.utils.checkpoint import (
-            load_checkpoint, save_checkpoint)
+            checkpoint_exists, load_checkpoint, save_checkpoint)
 
         series = [np.zeros(0, np.float32) for _ in range(4)]
         start = 0
         src = ckpt_path if ckpt_path.endswith(".npz") else ckpt_path + ".npz"
-        if os.path.exists(src):
+        if checkpoint_exists(ckpt_path):
             state_tpl = (opt_state, jax.random.key_data(rng))
             params, (opt_state, key_data), start = load_checkpoint(
                 ckpt_path, params, state_tpl)

@@ -83,6 +83,15 @@ def _backend() -> str:
     return os.environ.get("RGCN_CKPT_BACKEND", "npz").strip().lower()
 
 
+def checkpoint_exists(path: str) -> bool:
+    """Whether a checkpoint written by :func:`save_checkpoint` exists at
+    ``path``, under the CURRENT backend (npz file or orbax directory)."""
+    src = path if path.endswith(".npz") else path + ".npz"
+    if _backend() == "orbax":
+        return os.path.isdir(src[:-4] + ".orbax")
+    return os.path.exists(src)
+
+
 def save_checkpoint(path: str, params: Any, opt_state: Any = None,
                     epoch: int = 0, extra: Optional[Dict] = None) -> str:
     """Write ``{path}.npz`` (+ sidecar meta json). Returns the file path.
@@ -165,7 +174,11 @@ def _orbax_load(ckpt_dir: str, params_template: Any, opt_state_template: Any):
     import orbax.checkpoint as ocp
 
     def abstract(leaf):
-        if isinstance(leaf, jax.Array) and hasattr(leaf, "sharding"):
+        # pin the template's sharding only for COMMITTED leaves (same rule
+        # as the npz path's _leaf_to_device): an uncommitted fresh-init
+        # template must not commit the restore to its incidental single
+        # device, or jit rejects it next to mesh-sharded arguments
+        if isinstance(leaf, jax.Array) and getattr(leaf, "_committed", False):
             return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
                                         sharding=leaf.sharding)
         arr = np.asarray(leaf)
