@@ -111,7 +111,8 @@ def test_trainer_summary_checkpoint_roundtrip(tmp_path, ref_graphs_dir):
     assert 0.0 <= res["test_acc"] <= 1.0
 
 
-def _fit_trainer(tmp_path, epochs, ckpt_every, interrupt_after=None, seed=4):
+def _fit_trainer(tmp_path, epochs, ckpt_every, interrupt_after=None, seed=4,
+                 trainer_seed=0):
     """Trainer.fit through the chunked-checkpoint path on a tiny graph."""
     import os
 
@@ -128,7 +129,7 @@ def _fit_trainer(tmp_path, epochs, ckpt_every, interrupt_after=None, seed=4):
                    os.path.join(ds, "attr", "sum"),
                    os.path.join(ds, "attr", "map")).init_dataset()
     trainer = Trainer(data, hidden_l=6, epochs=epochs, weight_d=5e-5,
-                      emb_dim=8, lr=0.01, seed=0, backend="gather",
+                      emb_dim=8, lr=0.01, seed=trainer_seed, backend="gather",
                       ckpt_dir=str(tmp_path / "ck"), ckpt_every=ckpt_every)
     if interrupt_after is not None:
         # simulate the crash: stop the chunk loop after N epochs by
@@ -150,8 +151,11 @@ def test_fit_resume_matches_unbroken_run(tmp_path):
     t_part, cfg = _fit_trainer(tmp_path / "b", epochs=10, ckpt_every=2,
                                interrupt_after=4)
     t_part.train_original("summation", cfg, "baseline", verbose=False)
-    # resume: same ckpt_dir, full epoch budget
-    t_res, cfg = _fit_trainer(tmp_path / "b", epochs=10, ckpt_every=2)
+    # resume: same ckpt_dir, full epoch budget — DIFFERENT trainer seed,
+    # so only a real restore (params/opt/rng from disk) can match the
+    # unbroken seed-0 run (guards against a vacuous from-scratch pass)
+    t_res, cfg = _fit_trainer(tmp_path / "b", epochs=10, ckpt_every=2,
+                              trainer_seed=99)
     res_res = t_res.train_original("summation", cfg, "baseline", verbose=False)
 
     np.testing.assert_allclose(res_res["loss"], res_full["loss"],

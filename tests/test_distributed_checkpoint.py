@@ -59,7 +59,10 @@ def test_distributed_fit_resume_matches_unbroken_run(tmp_path):
     t_part, cfg = _dist_trainer(tmp_path / "b", epochs=10, ckpt_every=2,
                                 interrupt_after=4)
     t_part.train_original("summation", cfg, "baseline", verbose=False)
-    t_res, cfg = _dist_trainer(tmp_path / "b", epochs=10, ckpt_every=2)
+    # different seed on the resuming trainer: only a real restore can
+    # reproduce the seed-0 trajectory (guards against a vacuous pass)
+    t_res, cfg = _dist_trainer(tmp_path / "b", epochs=10, ckpt_every=2,
+                               seed=99)
     res_res = t_res.train_original("summation", cfg, "baseline",
                                    verbose=False)
 
