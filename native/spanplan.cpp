@@ -19,51 +19,9 @@
 
 extern "C" {
 
-// Pass 1: band statistics. A "band" is a maximal run of relation groups
-// within one bucket whose relations span < kspan. Bands are what round up
-// to whole chunks, so padded-size estimates per candidate chunk come
-// straight from the band-length distribution. Returns the number of
-// bands; fills padded_out[i] = sum(ceil(band_len / cand[i]) * cand[i]).
-int64_t span_estimate(int64_t e, const int64_t* key, const int32_t* rel,
-                      int64_t s, int32_t kspan,
-                      const int32_t* cands, int32_t n_cands,
-                      int64_t* padded_out) {
-  for (int i = 0; i < n_cands; ++i) padded_out[i] = 0;
-  if (e == 0) return 0;
-  int64_t n_bands = 0;
-  int64_t band_len = 0;
-  int64_t cur_bucket = -1;
-  int32_t band_rel = -(1 << 30);
-  auto close = [&]() {
-    if (band_len) {
-      for (int i = 0; i < n_cands; ++i) {
-        int64_t c = cands[i];
-        padded_out[i] += ((band_len + c - 1) / c) * c;
-      }
-      ++n_bands;
-    }
-    band_len = 0;
-  };
-  for (int64_t i = 0; i < e;) {
-    int64_t b = key[i] / s;
-    int32_t r = rel[i];
-    int64_t j = i;
-    while (j < e && key[j] / s == b && rel[j] == r) ++j;  // relation group
-    if (b != cur_bucket || r - band_rel >= kspan) {
-      close();
-      cur_bucket = b;
-      band_rel = r;
-    }
-    band_len += j - i;
-    i = j;
-  }
-  close();
-  return n_bands;
-}
-
-// Pass 1b: EXACT padded size for one candidate chunk — a dry run of the
+// Pass 1: EXACT padded size for one candidate chunk — a dry run of the
 // span_pack walk below (window base slides when a chunk fills naturally,
-// which the band model above cannot see; the band estimate overstates
+// which a band-length-distribution estimate cannot see; such an estimate overstates
 // padding for small chunks and mispicks the candidate — measured at the
 // bench shape it chose 1024 where 512 is 4.20M vs 4.80M padded rows,
 // a 2.5 ms/step difference on v5e).

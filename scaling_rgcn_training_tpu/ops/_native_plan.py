@@ -40,10 +40,6 @@ def get_lib():
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
-    lib.span_estimate.restype = ctypes.c_int64
-    lib.span_estimate.argtypes = [
-        ctypes.c_int64, _i64p, _i32p, ctypes.c_int64, ctypes.c_int32,
-        _i32p, ctypes.c_int32, _i64p]
     lib.span_padded_exact.restype = ctypes.c_int64
     lib.span_padded_exact.argtypes = [
         ctypes.c_int64, _i64p, _i32p, ctypes.c_int64, ctypes.c_int32,
