@@ -226,19 +226,21 @@ def _build_rel_edges_host(
                           num_nodes, num_slots,
                           bucket_rows=int(_os.environ.get("RGCN_SPAN_FWD_S", 0)),
                           chunk=int(_os.environ.get("RGCN_SPAN_FWD_CHUNK", 0)))
-    # bwd buckets default to 256 rows: post tile-packing, the r4 sweep
-    # (scripts/sweep_span.py + quiet-host true_piece) has s=256 saving
-    # ~0.9 ms (L1) + ~2.9 ms (L2) over 512 at the bench shape, while the
-    # fwd kernel is flat in s. BUT halved buckets double the (bucket,
-    # relation-band) cells, and on many-relation graphs the chunk padding
-    # explodes (measured: AM shape, 267 slots, s=256 blew HBM by 6 GB) -
-    # so fall back to 512 when the padded size runs away from fspan's.
+    # bwd buckets default to 224 rows: the [sub, s] scatter one-hot cost
+    # scales with s while padding scales inversely (band windows shrink
+    # with the bucket). The r5 chip sweep at the bench shape:
+    # s=512/256/224/192/160/128 -> step 72+/70.0/69.4/69.4/70.6/79.0 ms,
+    # and s=224 also has the LEAST padding (1.032x vs 256's 1.050x).
+    # BUT small buckets multiply (bucket, relation-band) cells, and on
+    # many-relation graphs the chunk padding explodes (measured: AM shape,
+    # 267 slots, s=256 blew HBM by 6 GB) - so fall back to 512 when the
+    # padded size runs away from fspan's.
     bwd_s_env = int(_os.environ.get("RGCN_SPAN_BWD_S", 0))
     bwd_k = int(_os.environ.get("RGCN_SPAN_BWD_K", 0))
     bwd_chunk = int(_os.environ.get("RGCN_SPAN_BWD_CHUNK", 0))
     bspan = plan_rel_span(dst[real], src[real], typ[real], norm[real],
                           num_nodes, num_slots,
-                          bucket_rows=bwd_s_env or 256, kspan=bwd_k,
+                          bucket_rows=bwd_s_env or 224, kspan=bwd_k,
                           chunk=bwd_chunk)
     if not bwd_s_env and bspan.padded_edges > 1.25 * fspan.padded_edges:
         bspan = plan_rel_span(dst[real], src[real], typ[real], norm[real],
