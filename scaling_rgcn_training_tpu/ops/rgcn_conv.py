@@ -222,10 +222,22 @@ def _build_rel_edges_host(
     from scaling_rgcn_training_tpu.ops.span_kernels import plan_rel_span
 
     real = norm > 0
+    # fwd buckets default to 384 rows (r5 chip sweep: s=512/448/384/320 ->
+    # 69.4/69.2/69.0/70.1 ms — the scatter one-hot narrows while the band
+    # window stays above the chunk). On many-relation graphs the window
+    # shrinks below the chunk and padding explodes (AM-like 267 slots:
+    # 1.51x at 384 vs 1.13x at 512) — fall back to 512 when padding runs
+    # past 1.10x the real edge count.
+    fwd_s_env = int(_os.environ.get("RGCN_SPAN_FWD_S", 0))
+    fwd_chunk = int(_os.environ.get("RGCN_SPAN_FWD_CHUNK", 0))
+    n_real = int(real.sum())
     fspan = plan_rel_span(src[real], dst[real], typ[real], norm[real],
                           num_nodes, num_slots,
-                          bucket_rows=int(_os.environ.get("RGCN_SPAN_FWD_S", 0)),
-                          chunk=int(_os.environ.get("RGCN_SPAN_FWD_CHUNK", 0)))
+                          bucket_rows=fwd_s_env or 384, chunk=fwd_chunk)
+    if not fwd_s_env and fspan.padded_edges > 1.10 * max(n_real, 1):
+        fspan = plan_rel_span(src[real], dst[real], typ[real], norm[real],
+                              num_nodes, num_slots, bucket_rows=512,
+                              chunk=fwd_chunk)
     # bwd buckets default to 224 rows: the [sub, s] scatter one-hot cost
     # scales with s while padding scales inversely (band windows shrink
     # with the bucket). The r5 chip sweep at the bench shape:

@@ -32,7 +32,7 @@ from typing import Callable, Iterable
 import numpy as np
 
 # bump when any plan NamedTuple layout / packing convention changes
-_VERSION = 7  # v7: bwd bucket default 224 (defaults are plan semantics)
+_VERSION = 8  # v8: fwd bucket default 384 + fallback (defaults are plan semantics)
 
 # env knobs that change plan contents (ops/span_kernels.py,
 # ops/segment_kernels.py, ops/rgcn_conv.py read these at build time)
